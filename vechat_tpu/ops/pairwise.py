@@ -1,0 +1,139 @@
+"""Pairwise global edit-distance alignment with CIGAR output.
+
+Plays the role edlib plays in the reference (src/overlap.cpp:205-224): given
+the query and target segments of an overlap, produce a standard CIGAR
+(M = match/mismatch, I = consumes query, D = consumes target) for an
+edit-distance-optimal global (NW) alignment.
+
+Host oracle implementation: numpy row DP with packed traceback for short
+segments, Hirschberg divide-and-conquer (rows-only memory) for long ones.
+The device path (ops/kernels/pairwise_jax.py) is verified against this.
+
+Tie-break: on equal cost the traceback prefers diagonal, then deletion (D),
+then insertion (I). Edit-distance-optimality matches edlib; the exact path on
+ties may differ from edlib's internal order, which can shift indel placement
+within an optimal alignment.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FULL_DP_MAX_CELLS = 4_000_000  # above this, switch to Hirschberg
+FULL_DP_MIN_ROWS = 256  # always use full DP below this many query rows
+
+
+def edit_distance_row(q: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """Final DP row of NW edit distance: dist(q, t[:j]) for all j.
+    Vectorised over t; loops over q."""
+    W = len(t) + 1
+    row = np.arange(W, dtype=np.int32)
+    for i in range(1, len(q) + 1):
+        sub = np.where(t == q[i - 1], 0, 1).astype(np.int32)
+        diag = row[:-1] + sub
+        up = row[1:] + 1
+        new = np.minimum(diag, up)
+        # left dependency: serial min -> prefix trick
+        # new[j] = min(new[j], new[j-1]+1) == running min of (new[k]-k) + j
+        full = np.empty(W, dtype=np.int32)
+        full[0] = i
+        full[1:] = new
+        jg = np.arange(W, dtype=np.int32)
+        row = np.minimum.accumulate(full - jg) + jg
+        row[0] = i
+    return row
+
+
+def _full_dp_cigar(q: np.ndarray, t: np.ndarray) -> list:
+    """Full-matrix DP with direction bits; returns list of ops."""
+    lq, lt = len(q), len(t)
+    H = np.zeros((lq + 1, lt + 1), dtype=np.int32)
+    H[0, :] = np.arange(lt + 1)
+    H[:, 0] = np.arange(lq + 1)
+    for i in range(1, lq + 1):
+        sub = np.where(t == q[i - 1], 0, 1).astype(np.int32)
+        diag = H[i - 1, :-1] + sub
+        up = H[i - 1, 1:] + 1
+        new = np.minimum(diag, up)
+        full = np.empty(lt + 1, dtype=np.int32)
+        full[0] = i
+        full[1:] = new
+        jg = np.arange(lt + 1, dtype=np.int32)
+        H[i, :] = np.minimum.accumulate(full - jg) + jg
+        H[i, 0] = i
+
+    ops = []
+    i, j = lq, lt
+    while i > 0 or j > 0:
+        if i > 0 and j > 0 and H[i, j] == H[i - 1, j - 1] + (0 if q[i - 1] == t[j - 1] else 1):
+            ops.append("M")
+            i -= 1
+            j -= 1
+        elif j > 0 and H[i, j] == H[i, j - 1] + 1:
+            ops.append("D")
+            j -= 1
+        else:
+            ops.append("I")
+            i -= 1
+    ops.reverse()
+    return ops
+
+
+def _hirschberg_ops(q: np.ndarray, t: np.ndarray) -> list:
+    """Divide-and-conquer alignment in O(len(t)) memory."""
+    if (
+        len(q) <= FULL_DP_MIN_ROWS
+        or len(q) * len(t) <= FULL_DP_MAX_CELLS
+        or len(t) == 0
+    ):
+        return _full_dp_cigar(q, t)
+    mid = len(q) // 2
+    left = edit_distance_row(q[:mid], t)
+    right = edit_distance_row(q[mid:][::-1], t[::-1])[::-1]
+    split = int(np.argmin(left + right))
+    return _hirschberg_ops(q[:mid], t[:split]) + _hirschberg_ops(q[mid:], t[split:])
+
+
+def ops_to_cigar(ops: list) -> str:
+    out = []
+    i = 0
+    while i < len(ops):
+        j = i
+        while j < len(ops) and ops[j] == ops[i]:
+            j += 1
+        out.append(f"{j - i}{ops[i]}")
+        i = j
+    return "".join(out)
+
+
+def edit_align(q: np.ndarray, t: np.ndarray) -> str:
+    """Global NW edit-distance alignment; returns a standard CIGAR string.
+    q consumes 'M'/'I'; t consumes 'M'/'D' (edlib EDLIB_CIGAR_STANDARD)."""
+    q = np.asarray(q)
+    t = np.asarray(t)
+    if len(q) == 0:
+        return f"{len(t)}D" if len(t) else ""
+    if len(t) == 0:
+        return f"{len(q)}I"
+    return ops_to_cigar(_hirschberg_ops(q, t))
+
+
+def edit_distance(q: np.ndarray, t: np.ndarray) -> int:
+    return int(edit_distance_row(np.asarray(q), np.asarray(t))[-1])
+
+
+def cigar_spans(cigar: str) -> tuple:
+    """(query_consumed, target_consumed) of a CIGAR string."""
+    import re
+
+    ql = tl = 0
+    for num, op in re.findall(r"(\d+)([MIDNSHP=X])", cigar):
+        num = int(num)
+        if op in "M=X":
+            ql += num
+            tl += num
+        elif op == "I":
+            ql += num
+        elif op in "DN":
+            tl += num
+    return ql, tl

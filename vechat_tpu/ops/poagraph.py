@@ -369,11 +369,14 @@ class PoaGraph:
             if e.weight < min_weight:
                 prune.append(True)
                 continue
-            total_out = sum(x.weight for x in self.outedges[e.tail])
-            confidence_uv = e.weight / total_out
-            support = e.weight / average_weight
-            total_in = sum(x.weight for x in self.inedges[e.head])
-            confidence_vu = e.weight / total_in
+            # C++ float division: 0/0 -> NaN (comparisons false -> pruned),
+            # x/0 -> +inf. np.float64 reproduces IEEE semantics exactly.
+            with np.errstate(divide="ignore", invalid="ignore"):
+                total_out = np.float64(sum(x.weight for x in self.outedges[e.tail]))
+                confidence_uv = np.float64(e.weight) / total_out
+                support = np.float64(e.weight) / np.float64(average_weight)
+                total_in = np.float64(sum(x.weight for x in self.inedges[e.head]))
+                confidence_vu = np.float64(e.weight) / total_in
             prune.append(
                 not (
                     confidence_uv >= min_confidence

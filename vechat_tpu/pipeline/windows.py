@@ -1,0 +1,281 @@
+"""Windows: 500 bp tiles of each target with overlapping read segments
+("layers"), plus the staged window-consensus drivers.
+
+The drivers are written batch-first: every sequence-to-graph alignment in a
+stage is collected across ALL windows and dispatched through a pluggable
+aligner backend in one batch, because POA graph construction is sequential
+per window but embarrassingly parallel across windows — the device analog of
+the reference's thread pool over windows (src/polisher.cpp:496-517).
+
+Semantics mirror src/window.cpp exactly (citations inline).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ops.encode import encode, phred_prob_sum, phred_weights
+from ..ops.graph_align import LinearAligner
+from ..ops.poagraph import PoaGraph
+
+WINDOW_TYPE_NGS = 0
+WINDOW_TYPE_TGS = 1
+
+
+@dataclass
+class WindowLayer:
+    codes: np.ndarray  # encoded segment
+    quality: Optional[str]  # None when the read carries no quality
+    begin: int  # position on the window backbone (inclusive)
+    end: int  # position of last matched backbone base (inclusive-ish, see
+    # src/polisher.cpp:455-458: end = bp[j+1].first - window_start - 1)
+
+
+@dataclass
+class Window:
+    target_id: int
+    rank: int
+    window_type: int
+    backbone_codes: np.ndarray
+    backbone_quality: Optional[str]  # None for FASTA targets (dummy '!' used)
+    if_fasta: bool  # the reference's backbone-quality C-string sniff outcome
+    # (src/window.cpp:223; see Polisher for how it is computed)
+    layers: List[WindowLayer] = field(default_factory=list)
+    consensus_codes: Optional[np.ndarray] = None
+    polished: bool = False
+
+    def add_layer(
+        self,
+        codes: np.ndarray,
+        quality: Optional[str],
+        begin: int,
+        end: int,
+    ) -> None:
+        """reference: src/window.cpp:47-72."""
+        if len(codes) == 0 or begin == end:
+            return
+        if quality is not None and len(codes) != len(quality):
+            raise ValueError("unequal quality size")
+        blen = len(self.backbone_codes)
+        if begin >= end or begin > blen or end > blen:
+            raise ValueError("layer begin and end positions are invalid")
+        self.layers.append(WindowLayer(codes, quality, begin, end))
+
+    def n_sequences(self) -> int:
+        return 1 + len(self.layers)
+
+
+class HostAlignerBackend:
+    """Batch aligner backend running the host oracle engines."""
+
+    def __init__(self, match: int, mismatch: int, gap: int):
+        self.nw = LinearAligner("nw", match, mismatch, gap)
+        # the local engine is ALWAYS 3/-5/-4 regardless of CLI scores
+        # (reference: src/window.cpp:326)
+        self.sw = LinearAligner("sw", 3, -5, -4)
+
+    def align_batch(self, items: Sequence[Tuple[np.ndarray, PoaGraph, str]]):
+        out = []
+        for codes, graph, mode in items:
+            eng = self.nw if mode == "nw" else self.sw
+            out.append(eng.align(codes, graph))
+        return out
+
+
+def _layer_weights(layer_codes: np.ndarray, quality: Optional[str]) -> np.ndarray:
+    return phred_weights(quality, len(layer_codes))
+
+
+def _backbone_weights(w: Window) -> np.ndarray:
+    if w.backbone_quality is None:
+        # the polisher passes dummy '!' quality; phred weight of '!' is 0
+        return np.zeros(len(w.backbone_codes), dtype=np.uint32)
+    return phred_weights(w.backbone_quality, len(w.backbone_codes))
+
+
+def _layer_order(w: Window) -> List[int]:
+    """Layers sorted by begin position, stable (reference sorts rank[1:] by
+    positions_[i].first — src/window.cpp:97,210; std::sort tie order is
+    unspecified there, we fix it as stable)."""
+    idx = np.argsort([l.begin for l in w.layers], kind="stable")
+    return [int(i) for i in idx]
+
+
+def _total_bases_weight_backbone(w: Window) -> float:
+    """reference: src/window.cpp:223-237."""
+    if w.if_fasta:
+        return float(len(w.backbone_codes))
+    if w.backbone_quality is None:
+        # dummy '!' quality, FASTQ branch: (1 - 10^0) == 0 per base
+        return 0.0
+    return phred_prob_sum(w.backbone_quality)
+
+
+def _build_phase(
+    windows: List[Window],
+    backend,
+    collect_weight: bool,
+) -> Tuple[List[PoaGraph], List[float], List[List[int]]]:
+    """Incremental POA build over all windows in lockstep layer steps.
+    Returns (graphs, total_bases_weight per window, layer order per window).
+    reference: src/window.cpp:84-136 (linear) / :197-298 (haplotype)."""
+    graphs: List[PoaGraph] = []
+    totals: List[float] = []
+    orders: List[List[int]] = []
+
+    for w in windows:
+        g = PoaGraph()
+        bq = w.backbone_quality
+        bw = _backbone_weights(w)
+        g.add_alignment([], w.backbone_codes, bw)
+        graphs.append(g)
+        totals.append(_total_bases_weight_backbone(w) if collect_weight else 0.0)
+        orders.append(_layer_order(w))
+
+    max_layers = max((len(w.layers) for w in windows), default=0)
+    for step in range(max_layers):
+        items = []
+        meta = []  # (window index, layer, mapping or None)
+        for wi, w in enumerate(windows):
+            if step >= len(w.layers):
+                continue
+            layer = w.layers[orders[wi][step]]
+            blen = len(w.backbone_codes)
+            offset = int(0.01 * blen)  # src/window.cpp:99,212
+            g = graphs[wi]
+            if layer.begin < offset and layer.end > blen - offset:
+                items.append((layer.codes, g, "nw"))
+                meta.append((wi, layer, None))
+            else:
+                sub, mapping = g.subgraph(layer.begin, layer.end)
+                items.append((layer.codes, sub, "nw"))
+                meta.append((wi, layer, mapping))
+
+        alignments = backend.align_batch(items)
+        for (wi, layer, mapping), aln in zip(meta, alignments):
+            if mapping is not None:
+                aln = PoaGraph.update_alignment(mapping, aln)
+            weights = _layer_weights(layer.codes, layer.quality)
+            graphs[wi].add_alignment(aln, layer.codes, weights)
+            if collect_weight:
+                if layer.quality is None:
+                    totals[wi] += float(len(layer.codes))
+                else:
+                    totals[wi] += phred_prob_sum(layer.quality)
+
+    return graphs, totals, orders
+
+
+def generate_consensus_linear(
+    windows: List[Window],
+    backend,
+    trim: bool,
+) -> None:
+    """Round-2 racon consensus over a batch of windows
+    (reference: src/window.cpp:74-174)."""
+    active = []
+    for w in windows:
+        if w.n_sequences() < 3:
+            w.consensus_codes = w.backbone_codes.copy()
+            w.polished = False
+        else:
+            active.append(w)
+    if not active:
+        return
+
+    graphs, _, _ = _build_phase(active, backend, collect_weight=False)
+
+    for w, g in zip(active, graphs):
+        codes, coverages = g.generate_consensus_with_coverage()
+        codes = np.asarray(codes, dtype=np.uint8)
+        if w.window_type == WINDOW_TYPE_TGS and trim:
+            average_coverage = (w.n_sequences() - 1) // 2
+            begin, end = 0, len(codes) - 1
+            while begin < len(codes) and coverages[begin] < average_coverage:
+                begin += 1
+            while end >= 0 and coverages[end] < average_coverage:
+                end -= 1
+            if begin < end:
+                codes = codes[begin : end + 1]
+            # begin >= end -> possible chimera, keep full consensus
+            # (reference: src/window.cpp:161-170)
+        w.consensus_codes = codes
+        w.polished = True
+
+
+def generate_consensus_haplotype(
+    windows: List[Window],
+    backend,
+    min_confidence: float,
+    min_support: float,
+    num_prune: int,
+) -> None:
+    """Round-1 variation-graph correction over a batch of windows
+    (reference: src/window.cpp:176-428)."""
+    active = []
+    for w in windows:
+        if w.n_sequences() < 3:
+            w.consensus_codes = w.backbone_codes.copy()
+            w.polished = False
+        else:
+            active.append(w)
+    if not active:
+        return
+
+    graphs, totals, orders = _build_phase(active, backend, collect_weight=True)
+
+    # prune the original POA graph (src/window.cpp:300-321)
+    pruned: List[PoaGraph] = []
+    for w, g, total in zip(active, graphs, totals):
+        window_len = np.uint16(len(w.backbone_codes))  # uint16 per reference
+        if w.if_fasta:
+            average_weight = 2.0 * total / int(window_len)
+        else:
+            average_weight = 2.0 * total / int(window_len) * 1000.0
+        g.prune_graph(0, min_confidence, min_support, average_weight)
+        pruned.append(g.largest_subgraph())
+        w._average_weight = average_weight  # reused every re-prune round
+
+    # iterative realign + AddWeights + re-prune (src/window.cpp:329-386).
+    # Graph structure is frozen within a round (AddWeights only re-weights
+    # existing edges), so every alignment of a round batches together.
+    for _ in range(num_prune - 1):
+        items = []
+        meta = []
+        for wi, (w, g) in enumerate(zip(active, pruned)):
+            blen = len(w.backbone_codes)
+            offset = int(0.01 * blen)
+            # j == 0 is the backbone; then layers in sorted order
+            seq_list = [(None, w.backbone_codes, w.backbone_quality)]
+            for oi in orders[wi]:
+                l = w.layers[oi]
+                seq_list.append((l, l.codes, l.quality))
+            for j, (layer, codes, quality) in enumerate(seq_list):
+                if j == 0 or (
+                    layer.begin < offset and layer.end > blen - offset
+                ):
+                    items.append((codes, g, "nw"))
+                else:
+                    items.append((codes, g, "sw"))
+                meta.append((wi, codes, quality))
+
+        alignments = backend.align_batch(items)
+        for (wi, codes, quality), aln in zip(meta, alignments):
+            weights = phred_weights(quality, len(codes))
+            pruned[wi].add_weights(aln, codes, weights)
+
+        for wi, (w, g) in enumerate(zip(active, pruned)):
+            g.prune_graph(0, min_confidence, min_support, w._average_weight)
+            pruned[wi] = g.largest_subgraph()
+
+    # final backbone local alignment + corrected emit (src/window.cpp:388-394)
+    items = [(w.backbone_codes, g, "sw") for w, g in zip(active, pruned)]
+    alignments = backend.align_batch(items)
+    for w, g, aln in zip(active, pruned, alignments):
+        w.consensus_codes = np.asarray(
+            g.generate_corrected_sequence(aln), dtype=np.uint8
+        )
+        w.polished = True

@@ -1,0 +1,58 @@
+"""Stage timing + progress logging (parity with racon::Logger,
+reference: src/logger.cpp) plus throughput counters for the TPU build
+(windows/sec, GCUPS) that the reference lacks."""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Dict
+
+
+class Logger:
+    def __init__(self, stream=None):
+        self.stream = stream or sys.stderr
+        self.time_ = 0.0
+        self._tick = None
+        self.bar_ = 0
+        self.counters: Dict[str, float] = {}
+
+    def tick(self) -> None:
+        """Accumulate elapsed time and restart the stopwatch
+        (reference: src/logger.cpp:20-26)."""
+        now = time.monotonic()
+        if self._tick is not None:
+            self.time_ += now - self._tick
+        self._tick = now
+
+    def log(self, msg: str = "") -> None:
+        """Print a stage line with elapsed seconds
+        (reference: src/logger.cpp:28-32)."""
+        now = time.monotonic()
+        elapsed = now - self._tick if self._tick is not None else 0.0
+        if msg:
+            print(
+                f"[vechat_tpu::] {msg} {elapsed:.6f} s", file=self.stream
+            )
+        self.time_ += elapsed
+        self._tick = now
+
+    def bar(self, msg: str) -> None:
+        """20-bin progress bar (reference: src/logger.cpp:34-48)."""
+        self.bar_ += 5
+        eq = self.bar_ // 5
+        print(
+            f"\r[vechat_tpu::] {msg} [{'=' * eq}>{' ' * (20 - eq)}] {self.bar_}%",
+            end="" if self.bar_ < 100 else "\n",
+            file=self.stream,
+        )
+        if self.bar_ >= 100:
+            self.bar_ = 0
+
+    def total(self, msg: str) -> None:
+        """reference: src/logger.cpp:50-55."""
+        self.tick()
+        print(f"[vechat_tpu::] {msg} {self.time_:.6f} s", file=self.stream)
+
+    def count(self, key: str, value: float) -> None:
+        self.counters[key] = self.counters.get(key, 0.0) + value
