@@ -1,0 +1,115 @@
+"""End-to-end CLI tests (host backend, small synthetic data)."""
+
+import numpy as np
+import pytest
+
+from vechat_tpu.io.fastx import SeqRecord, read_fastx, write_fastx
+from vechat_tpu.ops.encode import encode
+from vechat_tpu.ops.pairwise import edit_distance
+
+
+def rand_seq(rng, n):
+    return "".join(rng.choice(list("ACGT"), size=n))
+
+
+def noisy(rng, s, rate=0.05):
+    out = []
+    for c in s:
+        r = rng.random()
+        if r < rate * 0.5:
+            out.append(rng.choice([b for b in "ACGT" if b != c]))
+        elif r < rate * 0.75:
+            continue
+        else:
+            out.append(c)
+            if rng.random() < rate * 0.25:
+                out.append(rng.choice(list("ACGT")))
+    return "".join(out)
+
+
+@pytest.fixture
+def dataset(tmp_path):
+    rng = np.random.default_rng(0)
+    genome = rand_seq(rng, 2500)
+    reads = []
+    for i in range(10):
+        start = rng.integers(0, 500)
+        end = min(len(genome), start + 2000)
+        d = noisy(rng, genome[start:end])
+        reads.append(SeqRecord(f"read{i}", d, "5" * len(d)))  # Q20
+    path = tmp_path / "reads.fq"
+    write_fastx(reads, path, fmt="fq")
+    return genome, reads, path
+
+
+def test_vechat_cli_end_to_end(dataset, tmp_path):
+    from vechat_tpu.cli.vechat_main import main
+
+    genome, reads, path = dataset
+    out = tmp_path / "corrected.fa"
+    rc = main(
+        [
+            str(path),
+            "-o",
+            str(out),
+            "--platform",
+            "ont",
+            "--backend",
+            "host",
+        ]
+    )
+    assert rc == 0
+    corrected = read_fastx(out)
+    assert len(corrected) > 0
+    # corrected reads carry racon-style tags
+    assert "LN:i:" in corrected[0].name
+
+    # correction quality: corrected reads closer to genome than raw ones
+    def dist_to_genome(seq):
+        # align against the true window it came from (cheap containment check)
+        best = min(
+            edit_distance(encode(seq), encode(genome[s : s + len(seq) + 200]))
+            for s in range(0, max(1, len(genome) - len(seq)), 250)
+        )
+        return best / len(seq)
+
+    raw = np.mean([dist_to_genome(r.data) for r in reads[:3]])
+    cor = np.mean([dist_to_genome(r.data) for r in corrected[:3]])
+    assert cor < raw
+
+
+def test_racon_cli(dataset, tmp_path, capsys):
+    from vechat_tpu.cli.racon_main import main
+    from vechat_tpu.io.paf import write_paf
+    from vechat_tpu.pipeline.overlapper import (
+        OverlapParams,
+        filter_fpa,
+        filter_length_identity,
+        find_overlaps,
+    )
+
+    genome, reads, path = dataset
+    ovs = find_overlaps(reads, OverlapParams(k=15, w=5))
+    ovs = filter_fpa(filter_length_identity(ovs, min_block=500))
+    paf = tmp_path / "ov.paf"
+    write_paf(ovs, paf)
+
+    rc = main(
+        [
+            str(path),
+            str(paf),
+            str(path),
+            "-f",
+            "-p",
+            "-d",
+            "0.2",
+            "-s",
+            "0.2",
+            "--backend",
+            "host",
+        ]
+    )
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    assert stdout.startswith(">read")
+    assert "LN:i:" in stdout

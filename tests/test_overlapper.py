@@ -1,0 +1,144 @@
+import numpy as np
+import pytest
+
+from vechat_tpu.io.fastx import SeqRecord
+from vechat_tpu.io.paf import PafRecord
+from vechat_tpu.pipeline.overlapper import (
+    OverlapParams,
+    filter_fpa,
+    filter_length_identity,
+    find_overlaps,
+    minimizers,
+    scrub_reads,
+)
+
+
+def rand_seq(rng, n):
+    return "".join(rng.choice(list("ACGT"), size=n))
+
+
+def revcomp(s):
+    return s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+
+
+def test_minimizers_basic():
+    rng = np.random.default_rng(0)
+    s = rand_seq(rng, 300)
+    h, pos, strand = minimizers(s, 15, 5)
+    assert len(h) > 0
+    assert (np.diff(pos) > 0).all()
+    # minimizers are deterministic
+    h2, pos2, _ = minimizers(s, 15, 5)
+    assert (h == h2).all() and (pos == pos2).all()
+
+
+def test_minimizers_strand_canonical():
+    rng = np.random.default_rng(1)
+    s = rand_seq(rng, 200)
+    h1, _, _ = minimizers(s, 15, 5)
+    h2, _, _ = minimizers(revcomp(s), 15, 5)
+    # canonical hashing: same hash multiset on both strands
+    assert sorted(h1.tolist()) == sorted(h2.tolist())
+
+
+def test_find_overlaps_forward():
+    rng = np.random.default_rng(2)
+    genome = rand_seq(rng, 3000)
+    # two reads overlapping by 1000bp
+    r1 = SeqRecord("r1", genome[:2000])
+    r2 = SeqRecord("r2", genome[1000:3000])
+    ovs = find_overlaps([r1, r2], OverlapParams(k=15, w=5))
+    assert len(ovs) >= 2  # both orientations
+    ov = next(o for o in ovs if o.q_name == "r1")
+    assert not ov.strand
+    # overlap should span roughly [1000,2000) on r1 and [0,1000) on r2
+    assert ov.q_begin > 800 and ov.t_begin < 200
+    assert ov.alignment_length > 700
+
+
+def test_find_overlaps_revcomp():
+    rng = np.random.default_rng(3)
+    genome = rand_seq(rng, 3000)
+    r1 = SeqRecord("r1", genome[:2000])
+    r2 = SeqRecord("r2", revcomp(genome[1000:3000]))
+    ovs = find_overlaps([r1, r2], OverlapParams(k=15, w=5))
+    assert len(ovs) >= 2
+    ov = next(o for o in ovs if o.q_name == "r1")
+    assert ov.strand  # reverse-complement overlap detected
+    assert ov.alignment_length > 700
+
+
+def test_find_overlaps_noisy():
+    rng = np.random.default_rng(4)
+    genome = rand_seq(rng, 4000)
+
+    def noisy(s, rate=0.05):
+        out = []
+        for c in s:
+            r = rng.random()
+            if r < rate * 0.5:
+                out.append(rng.choice([b for b in "ACGT" if b != c]))
+            elif r < rate * 0.75:
+                continue
+            else:
+                out.append(c)
+                if rng.random() < rate * 0.25:
+                    out.append(rng.choice(list("ACGT")))
+        return "".join(out)
+
+    r1 = SeqRecord("r1", noisy(genome[:2500]))
+    r2 = SeqRecord("r2", noisy(genome[1200:3700]))
+    ovs = find_overlaps([r1, r2], OverlapParams(k=15, w=5))
+    assert any(o.q_name == "r1" for o in ovs)
+
+
+def test_filter_fpa_same_name_and_internal():
+    same = PafRecord("a", 1000, 100, 900, False, "a", 1000, 100, 900, 700, 800, 60)
+    dovetail = PafRecord("a", 1000, 500, 1000, False, "b", 1000, 0, 500, 450, 500, 60)
+    internal = PafRecord("a", 5000, 2000, 2600, False, "b", 5000, 2000, 2600, 500, 600, 60)
+    out = filter_fpa([same, dovetail, internal])
+    assert out == [dovetail]
+
+
+def test_filter_length_identity():
+    short = PafRecord("a", 1000, 0, 300, False, "b", 1000, 0, 300, 290, 300, 60)
+    good = PafRecord("a", 1000, 0, 900, False, "b", 1000, 0, 900, 895, 900, 60)
+    out = filter_length_identity([short, good], min_block=500, min_identity=0.99)
+    assert out == [good]
+
+
+def test_scrub_reads_drops_chimeras():
+    rng = np.random.default_rng(5)
+    good = SeqRecord("good", rand_seq(rng, 2000))
+    chimera = SeqRecord("chim", rand_seq(rng, 2000))
+    # good read covered end to end by 4 overlaps, chimera only 30%
+    ovs = []
+    for i in range(4):
+        ovs.append(
+            PafRecord(
+                "good", 2000, 0, 2000, False, f"o{i}", 2000, 0, 2000, 1900, 2000, 60
+            )
+        )
+        ovs.append(
+            PafRecord(
+                "chim", 2000, 0, 550, False, f"o{i}", 2000, 0, 550, 500, 550, 60
+            )
+        )
+    out = scrub_reads([good, chimera], ovs, min_coverage=3, max_bad_fraction=0.4)
+    names = [r.name for r in out]
+    assert "good" in names
+    assert all(not n.startswith("chim") or "_" in n for n in names if n != "good")
+
+
+def test_scrub_reads_splits_on_coverage_drop():
+    rng = np.random.default_rng(6)
+    r = SeqRecord("r", rand_seq(rng, 3000))
+    # covered [0,1400) and [1600,3000) but not the middle
+    ovs = []
+    for i in range(4):
+        ovs.append(PafRecord("r", 3000, 0, 1400, False, f"x{i}", 2000, 0, 1400, 1300, 1400, 60))
+        ovs.append(PafRecord("r", 3000, 1600, 3000, False, f"y{i}", 2000, 0, 1400, 1300, 1400, 60))
+    out = scrub_reads([r], ovs, min_coverage=3, max_bad_fraction=0.4)
+    names = sorted(r.name for r in out)
+    assert names == ["r_0_1400", "r_1600_3000"]
+    assert [len(r.data) for r in sorted(out, key=lambda x: x.name)] == [1400, 1400]

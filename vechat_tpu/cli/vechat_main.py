@@ -1,0 +1,145 @@
+"""`vechat` — the two-round correction pipeline CLI
+(reference: scripts/vechat:206-397).
+
+Round 1: overlap (native minimizer overlapper or external PAF) -> filter ->
+haplotype-aware variation-graph correction.
+Round 2: overlap corrected reads at base level -> keep >=1000 bp, >=0.99
+identity -> linear racon consensus.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List, Optional
+
+from ..io.fastx import SeqRecord, read_fastx, write_fasta
+from ..io.paf import read_paf, write_paf
+from ..pipeline.overlapper import (
+    OverlapParams,
+    filter_fpa,
+    filter_length_identity,
+    find_overlaps,
+    scrub_reads,
+)
+from ..pipeline.polisher import POLISHER_FRAGMENT, Polisher
+from ..utils.logger import Logger
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="vechat",
+        description="Haplotype-aware error correction for noisy long reads "
+        "using variation graphs (TPU-native)",
+    )
+    p.add_argument("sequences", help="FASTA/FASTQ(.gz) reads to correct")
+    p.add_argument("-o", "--outfile", default="reads.corrected.fa")
+    p.add_argument("--platform", default="pb", choices=["pb", "ont"])
+    p.add_argument("--split", action="store_true", help="chunk targets")
+    p.add_argument("--split-size", type=int, default=1000000)
+    p.add_argument("--scrub", action="store_true", help="scrub chimeric reads")
+    p.add_argument("-u", "--include-unpolished", action="store_true")
+    p.add_argument("--linear", action="store_true", help="linear correction only")
+    p.add_argument("-d", "--min-confidence", type=float, default=0.2)
+    p.add_argument("-s", "--min-support", type=float, default=0.2)
+    p.add_argument("--min-ovlplen-cns", type=int, default=1000)
+    p.add_argument("--min-identity-cns", type=float, default=0.99)
+    p.add_argument("-w", "--window-length", type=int, default=500)
+    p.add_argument("-q", "--quality-threshold", type=float, default=10.0)
+    p.add_argument("-e", "--error-threshold", type=float, default=0.3)
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-m", "--match", type=int, default=3)
+    p.add_argument("-x", "--mismatch", type=int, default=-5)
+    p.add_argument("-g", "--gap", type=int, default=-4)
+    p.add_argument(
+        "--overlaps",
+        default=None,
+        help="use a precomputed PAF instead of the native overlapper (round 1)",
+    )
+    p.add_argument("--backend", choices=["auto", "host", "jax"], default="auto")
+    p.add_argument("--keep-paf", default=None, help="write round-1 overlaps here")
+    return p
+
+
+def run_round(
+    reads: List[SeqRecord],
+    iteration: int,
+    args,
+    logger: Logger,
+    overlaps_path: Optional[str] = None,
+) -> List[SeqRecord]:
+    """One correction round (reference: scripts/vechat:17-97)."""
+    linear = args.linear or iteration == 2
+
+    if overlaps_path:
+        overlaps = read_paf(overlaps_path)
+    else:
+        params = OverlapParams.for_platform(args.platform)
+        overlaps = find_overlaps(reads, params)
+        if iteration == 1:
+            # minimap2 | awk '$11>=500' | fpa drop (scripts/vechat:37-39)
+            overlaps = filter_length_identity(overlaps, min_block=500)
+            overlaps = filter_fpa(overlaps)
+        else:
+            # >=1000bp, >=0.99 identity consensus round (scripts/vechat:47-49)
+            overlaps = filter_length_identity(
+                overlaps,
+                min_block=args.min_ovlplen_cns,
+                min_identity=args.min_identity_cns,
+            )
+            overlaps = filter_fpa(overlaps)
+        if args.keep_paf and iteration == 1:
+            write_paf(overlaps, args.keep_paf)
+    logger.log(f"round {iteration}: {len(overlaps)} overlaps")
+
+    from .racon_main import make_backend
+
+    polisher = Polisher(
+        polisher_type=POLISHER_FRAGMENT,
+        haplotype=not linear,
+        min_confidence=args.min_confidence,
+        min_support=args.min_support,
+        num_prune=3,
+        window_length=args.window_length,
+        quality_threshold=args.quality_threshold,
+        error_threshold=args.error_threshold,
+        trim=True,
+        match=args.match,
+        mismatch=args.mismatch,
+        gap=args.gap,
+        backend=make_backend(args.backend, args.match, args.mismatch, args.gap),
+        logger=logger,
+    )
+    polisher.initialize(reads, reads, overlaps)
+    return polisher.polish(drop_unpolished_sequences=not args.include_unpolished)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logger = Logger()
+    logger.tick()
+
+    reads = read_fastx(args.sequences)
+    logger.log(f"loaded {len(reads)} reads")
+
+    if args.scrub:
+        params = OverlapParams.for_platform(args.platform)
+        min_cov = 3 if args.platform == "pb" else 4
+        scrub_overlaps = find_overlaps(reads, params)
+        reads = scrub_reads(reads, scrub_overlaps, min_coverage=min_cov)
+        logger.log(f"scrubbed to {len(reads)} reads")
+
+    iterations = 1 if args.linear else 2
+    for i in range(1, iterations + 1):
+        overlaps_path = args.overlaps if i == 1 else None
+        reads = run_round(reads, i, args, logger, overlaps_path)
+        logger.log(f"round {i} complete: {len(reads)} corrected reads")
+
+    write_fasta(reads, args.outfile)
+    logger.total("total =")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
