@@ -59,10 +59,10 @@ def test_vechat_cli_end_to_end(dataset, tmp_path):
         ]
     )
     assert rc == 0
+    assert "LN:i:" in out.read_text()  # racon-style tags in headers
     corrected = read_fastx(out)
     assert len(corrected) > 0
-    # corrected reads carry racon-style tags
-    assert "LN:i:" in corrected[0].name
+    assert corrected[0].name.startswith("read") and corrected[0].name.endswith("r")
 
     # correction quality: corrected reads closer to genome than raw ones
     def dist_to_genome(seq):

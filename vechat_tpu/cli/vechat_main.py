@@ -134,6 +134,13 @@ def main(argv=None) -> int:
     for i in range(1, iterations + 1):
         overlaps_path = args.overlaps if i == 1 else None
         reads = run_round(reads, i, args, logger, overlaps_path)
+        # the reference round-trips through FASTA files between rounds, which
+        # truncates names at the first whitespace (bioparser Shorten); mirror
+        # that so round-2 headers match (e.g. "read0r" + new tags)
+        if i < iterations:
+            reads = [
+                SeqRecord(r.name.split()[0], r.data, r.quality) for r in reads
+            ]
         logger.log(f"round {i} complete: {len(reads)} corrected reads")
 
     write_fasta(reads, args.outfile)

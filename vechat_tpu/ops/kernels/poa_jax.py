@@ -175,65 +175,80 @@ def poa_align_batch_device(
     max_i = max_i.astype(jnp.int32)
     max_j = max_j.astype(jnp.int32)
 
-    # ---- traceback
+    # ---- traceback: batch-vectorised fixed-step walk. A vmapped while_loop
+    # compiles pathologically on TPU; instead all B walks advance together in
+    # one fori_loop of L steps with an active mask (finished walks no-op).
     L = N + S + 1
-
-    def tb_one(Hb, codes_b, preds_b, node_id_b, seq_b, i0, j0):
-        pairs = jnp.full((L, 2), -2, jnp.int32)
-
-        def cond(state):
-            i, j, k, pairs = state
-            if align_type == "sw":
-                return Hb[i, j] != 0
-            if align_type == "nw":
-                return ~((i == 0) & (j == 0))
-            return ~((i == 0) | (j == 0))
-
-        def body(state):
-            i, j, k, pairs = state
-            h_ij = Hb[i, j]
-            node = jnp.maximum(i - 1, 0)
-            code = codes_b[node]
-            seq_code = seq_b[jnp.maximum(j - 1, 0)]
-            match_cost = jnp.where(seq_code == code, mi, xi)
-            p_idx = preds_b[node]  # [P]
-
-            diag_ok = (
-                (i != 0)
-                & (j != 0)
-                & (h_ij == Hb[p_idx, jnp.maximum(j - 1, 0)] + match_cost)
-            )
-            vert_ok = (i != 0) & (h_ij == Hb[p_idx, j] + gi)
-            horiz_ok = (j != 0) & (h_ij == Hb[i, jnp.maximum(j - 1, 0)] + gi)
-
-            cands = jnp.concatenate(
-                [diag_ok, vert_ok, horiz_ok[None]], axis=0
-            )  # [2P+1]
-            choice = jnp.argmax(cands)  # first true
-            is_diag = choice < P
-            is_vert = (choice >= P) & (choice < 2 * P)
-            slot = jnp.where(is_diag, choice, choice - P)
-            pred_row = p_idx[jnp.minimum(slot, P - 1)]
-
-            prev_i = jnp.where(is_diag | is_vert, pred_row, i)
-            prev_j = jnp.where(is_diag | (~is_vert), j - 1, j)
-
-            pair = jnp.stack(
-                [
-                    jnp.where(i == prev_i, -1, node_id_b[node]),
-                    jnp.where(j == prev_j, -1, j - 1),
-                ]
-            )
-            pairs = pairs.at[L - 1 - k].set(pair)
-            return prev_i, prev_j, k + 1, pairs
-
-        i, j, k, pairs = lax.while_loop(cond, body, (i0, j0, jnp.int32(0), pairs))
-        return pairs, k
+    bidx = jnp.arange(B)
 
     start_empty = (max_i == 0) & (max_j == 0)
-    pairs, count = jax.vmap(tb_one)(
-        H, codes, preds, node_id, seq, jnp.where(start_empty, 0, max_i),
-        jnp.where(start_empty, 0, max_j),
+    i0 = jnp.where(start_empty, 0, max_i)
+    j0 = jnp.where(start_empty, 0, max_j)
+
+    def cond_alive(i, j):
+        if align_type == "sw":
+            return H[bidx, i, j] != 0
+        if align_type == "nw":
+            return ~((i == 0) & (j == 0))
+        return ~((i == 0) | (j == 0))
+
+    def tb_step(_, state):
+        i, j, k, active, pairs = state
+        h_ij = H[bidx, i, j]  # [B]
+        node = jnp.maximum(i - 1, 0)
+        code = codes[bidx, node]
+        jm1 = jnp.maximum(j - 1, 0)
+        seq_code = seq[bidx, jm1]
+        match_cost = jnp.where(seq_code == code, mi, xi)  # [B]
+        p_idx = preds[bidx, node]  # [B, P]
+        bcol = bidx[:, None]
+        Hp_jm1 = H[bcol, p_idx, jm1[:, None]]  # [B, P]
+        Hp_j = H[bcol, p_idx, j[:, None]]  # [B, P]
+
+        diag_ok = (
+            ((i != 0) & (j != 0))[:, None]
+            & (h_ij[:, None] == Hp_jm1 + match_cost[:, None])
+        )
+        vert_ok = (i != 0)[:, None] & (h_ij[:, None] == Hp_j + gi)
+        horiz_ok = (j != 0) & (h_ij == H[bidx, i, jm1] + gi)
+
+        cands = jnp.concatenate(
+            [diag_ok, vert_ok, horiz_ok[:, None]], axis=1
+        )  # [B, 2P+1]
+        choice = jnp.argmax(cands, axis=1)  # first true = reference order
+        is_diag = choice < P
+        is_vert = (choice >= P) & (choice < 2 * P)
+        slot = jnp.where(is_diag, choice, choice - P)
+        pred_row = jnp.take_along_axis(
+            p_idx, jnp.minimum(slot, P - 1)[:, None], axis=1
+        )[:, 0]
+
+        prev_i = jnp.where(is_diag | is_vert, pred_row, i)
+        prev_j = jnp.where(is_diag | (~is_vert), j - 1, j)
+
+        pair = jnp.stack(
+            [
+                jnp.where(i == prev_i, -1, node_id[bidx, node]),
+                jnp.where(j == prev_j, -1, j - 1),
+            ],
+            axis=1,
+        )  # [B, 2]
+        write_pos = L - 1 - k
+        old = pairs[bidx, write_pos]
+        pairs = pairs.at[bidx, write_pos].set(
+            jnp.where(active[:, None], pair, old)
+        )
+        i = jnp.where(active, prev_i, i)
+        j = jnp.where(active, prev_j, j)
+        k = jnp.where(active, k + 1, k)
+        active = active & cond_alive(i, j)
+        return i, j, k, active, pairs
+
+    pairs0 = jnp.full((B, L, 2), -2, jnp.int32)
+    k0 = jnp.zeros(B, jnp.int32)
+    active0 = cond_alive(i0, j0) & (~start_empty)
+    _, _, count, _, pairs = lax.fori_loop(
+        0, L, tb_step, (i0, j0, k0, active0, pairs0)
     )
     count = jnp.where(start_empty, 0, count)
     return pairs, count, max_score

@@ -297,6 +297,129 @@ class PoaGraph:
             coverages.append(c)
         return codes, coverages
 
+    def successor(self, node: int, label: int) -> Optional[int]:
+        """Next node of sequence `label` after `node`
+        (reference: graph.cpp:25-36)."""
+        for e in self.outedges[node]:
+            if label in e.labels:
+                return e.head
+        return None
+
+    def initialize_msa_columns(self) -> Tuple[List[int], int]:
+        """node id -> MSA column; aligned bundles share a column
+        (reference: graph.cpp:393-413)."""
+        col = [0] * self.num_nodes()
+        j = 0
+        i = 0
+        while i < len(self.rank_to_node):
+            v = self.rank_to_node[i]
+            col[v] = j
+            for a in self.aligned[v]:
+                i += 1
+                col[a] = j
+            i += 1
+            j += 1
+        return col, j
+
+    def generate_msa(self, include_consensus: bool = False) -> List[str]:
+        """Multiple sequence alignment rows (reference: graph.cpp:415-448)."""
+        from .encode import DECODE
+
+        col, width = self.initialize_msa_columns()
+        rows: List[str] = []
+        for i, begin in enumerate(self.sequences):
+            row = ["-"] * width
+            v = begin
+            while v is not None:
+                row[col[v]] = chr(DECODE[self.codes[v]])
+                v = self.successor(v, i)
+            rows.append("".join(row))
+        if include_consensus:
+            self._traverse_heaviest_bundle()
+            row = ["-"] * width
+            for v in self.consensus:
+                row[col[v]] = chr(DECODE[self.codes[v]])
+            rows.append("".join(row))
+        return rows
+
+    def to_gfa(
+        self,
+        headers: List[str],
+        is_reversed: Optional[List[bool]] = None,
+        include_consensus: bool = False,
+    ) -> str:
+        """GFA 1.0 dump (reference: vendor/spoa/src/main.cpp:120-201)."""
+        from .encode import DECODE
+
+        is_cons = [False] * self.num_nodes()
+        for v in self.consensus:
+            is_cons[v] = True
+        lines = ["H\tVN:Z:1.0"]
+        for v in range(self.num_nodes()):
+            s = f"S\t{v + 1}\t{chr(DECODE[self.codes[v]])}"
+            if is_cons[v]:
+                s += "\tic:Z:true"
+            lines.append(s)
+            for e in self.outedges[v]:
+                l = f"L\t{v + 1}\t+\t{e.head + 1}\t+\tOM\tew:f:{e.weight}"
+                if is_cons[v] and is_cons[e.head]:
+                    l += "\tic:Z:true"
+                lines.append(l)
+        for i, begin in enumerate(self.sequences):
+            path = []
+            v = begin
+            while v is not None:
+                path.append(v + 1)
+                v = self.successor(v, i)
+            ir = bool(is_reversed[i]) if is_reversed else False
+            if ir:
+                path.reverse()
+            sign = "-" if ir else "+"
+            lines.append(
+                f"P\t{headers[i]}\t" + ",".join(f"{p}{sign}" for p in path) + "\t*"
+            )
+        if include_consensus:
+            lines.append(
+                "P\tConsensus\t"
+                + ",".join(f"{v + 1}+" for v in self.consensus)
+                + "\t*"
+            )
+        return "\n".join(lines) + "\n"
+
+    def to_dot(self) -> str:
+        """Graphviz dump (reference: graph.cpp:747-796)."""
+        from .encode import DECODE
+
+        cons_rank = [-1] * self.num_nodes()
+        for r, v in enumerate(self.consensus):
+            cons_rank[v] = r
+        lines = [f"digraph {len(self.sequences)} {{", "  graph [rankdir = LR]"]
+        for v in range(self.num_nodes()):
+            style = (
+                ", style = filled, fillcolor = goldenrod1"
+                if cons_rank[v] != -1
+                else ""
+            )
+            lines.append(
+                f'  {v}[label = "{v} - {chr(DECODE[self.codes[v]])}"{style}]'
+            )
+            for e in self.outedges[v]:
+                color = (
+                    ", color = goldenrod1"
+                    if cons_rank[v] + 1 == cons_rank[e.head] and cons_rank[v] != -1
+                    else ""
+                )
+                lines.append(
+                    f'  {v} -> {e.head} [label = "{e.weight}"{color}]'
+                )
+            for a in self.aligned[v]:
+                if a > v:
+                    lines.append(
+                        f"  {v} -> {a} [style = dotted, arrowhead = none]"
+                    )
+        lines.append("}")
+        return "\n".join(lines) + "\n"
+
     # --------------------------------------------------------------- subgraph
 
     def extract_subgraph_nodes(self, begin_id: int, end_id: int) -> List[bool]:
