@@ -189,8 +189,11 @@ def test_generate_consensus_with_coverage():
     assert cov == [3, 3, 3, 3]
 
 
-def test_make_engine_linear_selection():
-    eng = make_engine("nw", 3, -5, -4)
-    assert isinstance(eng, LinearAligner)
-    with pytest.raises(NotImplementedError):
-        make_engine("nw", 3, -5, -8, -4)
+def test_make_engine_subtype_selection():
+    from vechat_tpu.ops.graph_align import AffineAligner, ConvexAligner
+
+    assert isinstance(make_engine("nw", 3, -5, -4), LinearAligner)
+    # g < e with defaults q=g, c=e -> affine
+    assert isinstance(make_engine("nw", 5, -4, -8, -6), AffineAligner)
+    # spoa CLI defaults -> convex (g>q and e<c)
+    assert isinstance(make_engine("sw", 5, -4, -8, -6, -10, -4), ConvexAligner)
