@@ -1,0 +1,140 @@
+"""Parity tests: Pallas kernel (interpret mode) vs host oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vechat_tpu.ops.encode import encode
+from vechat_tpu.ops.graph_align import LinearAligner
+from vechat_tpu.ops.kernels.poa_jax import graph_to_dense
+from vechat_tpu.ops.kernels.poa_pallas import poa_align_pallas
+from vechat_tpu.ops.poagraph import PoaGraph
+
+
+def build_graph(seqs):
+    eng = LinearAligner("nw", 3, -5, -4)
+    gr = PoaGraph()
+    for s in seqs:
+        codes = encode(s)
+        aln = eng.align(codes, gr) if gr.num_nodes() else []
+        gr.add_alignment(aln, codes, np.ones(len(codes), dtype=np.uint32))
+    return gr
+
+
+def rand_seq(rng, n):
+    return "".join(rng.choice(list("ACGT"), size=n))
+
+
+def mutate(rng, seq, rate=0.12):
+    out = []
+    for c in seq:
+        r = rng.random()
+        if r < rate * 0.5:
+            out.append(rng.choice([b for b in "ACGT" if b != c]))
+        elif r < rate * 0.7:
+            continue
+        elif r < rate:
+            out.append(c)
+            out.append(rng.choice(list("ACGT")))
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def pack_and_run(graphs, seq_lists, mode, N, P, W, m=3, x=-5, g=-4):
+    """graphs: list of B PoaGraphs; seq_lists: per graph, list of D code arrays."""
+    B = len(graphs)
+    D = max(len(s) for s in seq_lists)
+    codes = np.zeros((B, 1, N), np.int32)
+    preds = np.zeros((B, P, N), np.int32)
+    sink = np.zeros((B, 1, N), np.int32)
+    nid = np.zeros((B, 1, N), np.int32)
+    nn = np.zeros((B, 1, 1), np.int32)
+    seqp = np.full((B, D, W), 0xFF, np.int32)
+    slen = np.ones((B, 1, D), np.int32)
+    seqp[:, :, 1] = 0  # trivial pad sequence 'A'
+    for b, (gr, seqs) in enumerate(zip(graphs, seq_lists)):
+        d = graph_to_dense(gr, N, P)
+        assert d is not None
+        codes[b, 0] = d["codes"]
+        preds[b] = d["preds"].T
+        sink[b, 0] = d["is_sink"].astype(np.int32)
+        nid[b, 0] = d["node_id"]
+        nn[b, 0, 0] = d["n_nodes"]
+        for di, q in enumerate(seqs):
+            seqp[b, di, 1 : 1 + len(q)] = q
+            seqp[b, di, 1 + len(q) :] = 0xFF
+            slen[b, 0, di] = len(q)
+    pn, pp, count, score = poa_align_pallas(
+        jnp.asarray(codes),
+        jnp.asarray(preds),
+        jnp.asarray(sink),
+        jnp.asarray(nid),
+        jnp.asarray(nn),
+        jnp.asarray(seqp),
+        jnp.asarray(slen),
+        align_type=mode,
+        m=m,
+        x=x,
+        g=g,
+        interpret=True,
+    )
+    pn, pp, count = np.asarray(pn), np.asarray(pp), np.asarray(count)
+    L = pn.shape[2]
+    out = []
+    for b in range(B):
+        row = []
+        for di in range(len(seq_lists[b])):
+            c = int(count[b, 0, di])
+            row.append(
+                list(zip(pn[b, di, L - c :].tolist(), pp[b, di, L - c :].tolist()))
+            )
+        out.append(row)
+    return out, np.asarray(score)
+
+
+@pytest.mark.parametrize("mode", ["nw", "sw"])
+def test_pallas_matches_host_small(mode):
+    rng = np.random.default_rng(0)
+    base = rand_seq(rng, 50)
+    graphs = [build_graph([mutate(rng, base) for _ in range(3)]) for _ in range(2)]
+    seq_lists = [
+        [encode(mutate(rng, base)) for _ in range(2)] for _ in range(2)
+    ]
+    got, score = pack_and_run(graphs, seq_lists, mode, N=128, P=4, W=128)
+
+    host = LinearAligner(mode, 3, -5, -4) if mode == "sw" else LinearAligner(
+        "nw", 3, -5, -4
+    )
+    if mode == "sw":
+        host = LinearAligner("sw", 3, -5, -4)
+    for b, gr in enumerate(graphs):
+        for di, q in enumerate(seq_lists[b]):
+            want, wscore = host.align(q, gr, return_score=True)
+            assert got[b][di] == want, f"b={b} d={di}"
+            assert int(score[b, 0, di]) == wscore
+
+
+def test_pallas_ov_mode():
+    rng = np.random.default_rng(1)
+    graphs = [build_graph([rand_seq(rng, 40)])]
+    q = encode(rand_seq(rng, 30))
+    got, score = pack_and_run(graphs, [[q]], "ov", N=64, P=4, W=64)
+    host = LinearAligner("ov", 3, -5, -4)
+    want, wscore = host.align(q, graphs[0], return_score=True)
+    assert got[0][0] == want
+    assert int(score[0, 0, 0]) == wscore
+
+
+def test_pallas_deep_graph():
+    rng = np.random.default_rng(2)
+    base = rand_seq(rng, 80)
+    gr = build_graph([mutate(rng, base) for _ in range(8)])
+    qs = [encode(mutate(rng, base)) for _ in range(4)]
+    got, score = pack_and_run([gr], [qs], "sw", N=256, P=8, W=128)
+    host = LinearAligner("sw", 3, -5, -4)
+    for di, q in enumerate(qs):
+        want, wscore = host.align(q, gr, return_score=True)
+        assert got[0][di] == want
+        assert int(score[0, 0, di]) == wscore
