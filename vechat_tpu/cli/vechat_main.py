@@ -115,6 +115,93 @@ def run_round(
     return polisher.polish(drop_unpolished_sequences=not args.include_unpolished)
 
 
+def run_round_split(
+    reads: List[SeqRecord],
+    iteration: int,
+    args,
+    logger: Logger,
+    overlaps_path: Optional[str] = None,
+) -> List[SeqRecord]:
+    """Chunked targets: correct a chunk at a time against the full query set,
+    concatenate chunk outputs in order (reference: scripts/vechat:300-361,
+    where `split -l N` makes line-count chunks and results are `cat`-merged
+    in filename order)."""
+    fmt_lines = 4 if any(r.quality is not None for r in reads) else 2
+    split_size = args.split_size
+    if iteration > 1:
+        # round >1 inputs are FASTA; reference halves the fq split size
+        # (scripts/vechat:319-320)
+        fmt_lines = 2
+        split_size = args.split_size if fmt_lines == 2 else args.split_size // 2
+    reads_per_chunk = max(1, split_size // fmt_lines)
+
+    out: List[SeqRecord] = []
+    for off in range(0, len(reads), reads_per_chunk):
+        chunk = reads[off : off + reads_per_chunk]
+        logger.log(
+            f"round {iteration}: chunk {off // reads_per_chunk + 1} "
+            f"({len(chunk)} targets)"
+        )
+        out.extend(
+            run_round_targets(chunk, reads, iteration, args, logger, overlaps_path)
+        )
+    return out
+
+
+def run_round_targets(
+    targets: List[SeqRecord],
+    queries: List[SeqRecord],
+    iteration: int,
+    args,
+    logger: Logger,
+    overlaps_path: Optional[str] = None,
+) -> List[SeqRecord]:
+    """One correction pass with distinct target/query sets."""
+    linear = args.linear or iteration == 2
+    if overlaps_path:
+        overlaps = read_paf(overlaps_path)
+    else:
+        params = OverlapParams.for_platform(args.platform)
+        # overlap chunk targets vs all queries (both roles present)
+        pool = {r.name: r for r in queries}
+        for t in targets:
+            pool.setdefault(t.name, t)
+        overlaps = find_overlaps(list(pool.values()), params)
+        if iteration == 1:
+            overlaps = filter_length_identity(overlaps, min_block=500)
+        else:
+            overlaps = filter_length_identity(
+                overlaps,
+                min_block=args.min_ovlplen_cns,
+                min_identity=args.min_identity_cns,
+            )
+        overlaps = filter_fpa(overlaps)
+        # keep only overlaps whose target is in this chunk
+        tnames = {t.name for t in targets}
+        overlaps = [ov for ov in overlaps if ov.t_name in tnames]
+
+    from .racon_main import make_backend
+
+    polisher = Polisher(
+        polisher_type=POLISHER_FRAGMENT,
+        haplotype=not linear,
+        min_confidence=args.min_confidence,
+        min_support=args.min_support,
+        num_prune=3,
+        window_length=args.window_length,
+        quality_threshold=args.quality_threshold,
+        error_threshold=args.error_threshold,
+        trim=True,
+        match=args.match,
+        mismatch=args.mismatch,
+        gap=args.gap,
+        backend=make_backend(args.backend, args.match, args.mismatch, args.gap),
+        logger=logger,
+    )
+    polisher.initialize(targets, queries, overlaps)
+    return polisher.polish(drop_unpolished_sequences=not args.include_unpolished)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     logger = Logger()
@@ -133,7 +220,10 @@ def main(argv=None) -> int:
     iterations = 1 if args.linear else 2
     for i in range(1, iterations + 1):
         overlaps_path = args.overlaps if i == 1 else None
-        reads = run_round(reads, i, args, logger, overlaps_path)
+        if args.split:
+            reads = run_round_split(reads, i, args, logger, overlaps_path)
+        else:
+            reads = run_round(reads, i, args, logger, overlaps_path)
         # the reference round-trips through FASTA files between rounds, which
         # truncates names at the first whitespace (bioparser Shorten); mirror
         # that so round-2 headers match (e.g. "read0r" + new tags)

@@ -297,6 +297,87 @@ class PoaGraph:
             coverages.append(c)
         return codes, coverages
 
+    # ------------------------------------------------------------ checkpoint
+
+    def save(self, path) -> None:
+        """Serialize the full graph state (the analog of spoa's cereal
+        archive, reference: vendor/spoa/include/spoa/graph.hpp:195-297;
+        round-trip exercised like vendor/spoa/test/spoa_test.cpp:129-148)."""
+        tails = np.array([e.tail for e in self.edges], dtype=np.int64)
+        heads = np.array([e.head for e in self.edges], dtype=np.int64)
+        weights = np.array([e.weight for e in self.edges], dtype=np.int64)
+        label_flat = np.array(
+            [l for e in self.edges for l in e.labels], dtype=np.int64
+        )
+        label_off = np.cumsum([0] + [len(e.labels) for e in self.edges])
+        edge_index = {id(e): i for i, e in enumerate(self.edges)}
+
+        def ragged(lists):
+            flat = np.array([v for row in lists for v in row], dtype=np.int64)
+            off = np.cumsum([0] + [len(row) for row in lists])
+            return flat, off.astype(np.int64)
+
+        in_flat, in_off = ragged(
+            [[edge_index[id(e)] for e in row] for row in self.inedges]
+        )
+        out_flat, out_off = ragged(
+            [[edge_index[id(e)] for e in row] for row in self.outedges]
+        )
+        al_flat, al_off = ragged(self.aligned)
+        np.savez_compressed(
+            path,
+            codes=np.array(self.codes, dtype=np.int64),
+            tails=tails,
+            heads=heads,
+            weights=weights,
+            label_flat=label_flat,
+            label_off=label_off,
+            in_flat=in_flat,
+            in_off=in_off,
+            out_flat=out_flat,
+            out_off=out_off,
+            al_flat=al_flat,
+            al_off=al_off,
+            sequences=np.array(
+                [-1 if s is None else s for s in self.sequences], dtype=np.int64
+            ),
+            rank_to_node=np.array(self.rank_to_node, dtype=np.int64),
+            consensus=np.array(self.consensus, dtype=np.int64),
+        )
+
+    @classmethod
+    def load(cls, path) -> "PoaGraph":
+        z = np.load(path)
+        g = cls()
+        g.codes = [int(c) for c in z["codes"]]
+        n = len(g.codes)
+        edges = []
+        for i in range(len(z["tails"])):
+            e = Edge(int(z["tails"][i]), int(z["heads"][i]), 0, int(z["weights"][i]))
+            e.labels = [
+                int(l)
+                for l in z["label_flat"][z["label_off"][i] : z["label_off"][i + 1]]
+            ]
+            edges.append(e)
+        g.edges = edges
+
+        def unragged(flat, off):
+            return [
+                [int(v) for v in flat[off[i] : off[i + 1]]] for i in range(n)
+            ]
+
+        g.inedges = [
+            [edges[i] for i in row] for row in unragged(z["in_flat"], z["in_off"])
+        ]
+        g.outedges = [
+            [edges[i] for i in row] for row in unragged(z["out_flat"], z["out_off"])
+        ]
+        g.aligned = unragged(z["al_flat"], z["al_off"])
+        g.sequences = [None if s == -1 else int(s) for s in z["sequences"]]
+        g.rank_to_node = [int(v) for v in z["rank_to_node"]]
+        g.consensus = [int(v) for v in z["consensus"]]
+        return g
+
     def successor(self, node: int, label: int) -> Optional[int]:
         """Next node of sequence `label` after `node`
         (reference: graph.cpp:25-36)."""
