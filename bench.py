@@ -1,13 +1,12 @@
 #!/usr/bin/env python
-"""Benchmark: POA sequence-to-graph DP throughput (GCUPS) on the local chip.
+"""Benchmark: POA sequence-to-graph DP+traceback throughput on the local chip.
 
 Prints ONE JSON line: {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 
-The reference's hot loop is spoa's SIMD DP; on a modern x86 core it sustains
-roughly 1-2 GCUPS (8x int16 lanes, SSE4.1 — see
-vendor/spoa/src/simd_alignment_engine_implementation.hpp:87-126). We take
-10 GCUPS as the baseline bar (a full reference node's worth of cores) and
-report vs_baseline against it.
+Measures the Pallas correction kernel end to end (DP + in-kernel traceback +
+result fetch) over realistic window-graph batches. Baseline bar: 10 GCUPS —
+roughly a full reference node of spoa SIMD cores (the reference's per-core
+SIMD DP sustains ~1-2 GCUPS; simd_alignment_engine_implementation.hpp).
 """
 
 import json
@@ -25,8 +24,9 @@ import numpy as np  # noqa: E402
 BASELINE_GCUPS = 10.0
 
 
-def synth_batch(B, N, S, P, depth=8, seed=0):
-    """Realistic window-graph batch: POA graphs of `depth` noisy 500 bp reads."""
+def synth_graph_batch(B, N, P, D, W, seed=0):
+    """Window-graph batch shaped like real correction work: POA graphs built
+    from noisy reads, D query sequences per graph."""
     from vechat_tpu.ops.encode import encode
     from vechat_tpu.ops.graph_align import LinearAligner
     from vechat_tpu.ops.kernels.poa_jax import graph_to_dense
@@ -34,95 +34,98 @@ def synth_batch(B, N, S, P, depth=8, seed=0):
 
     rng = np.random.default_rng(seed)
     eng = LinearAligner("nw", 3, -5, -4)
-    base_len = int(S * 0.9)
+    base_len = int((W - 1) * 0.9)
 
-    codes_arr = np.zeros((B, N), dtype=np.uint8)
-    preds_arr = np.zeros((B, N, P), dtype=np.int32)
-    node_id_arr = np.zeros((B, N), dtype=np.int32)
-    sink_arr = np.ones((B, N), dtype=bool)
-    nn_arr = np.ones(B, dtype=np.int32)
-    seq_arr = np.full((B, S), 0xFF, dtype=np.uint8)
-    seq_arr[:, 0] = 0
-    sl_arr = np.ones(B, dtype=np.int32)
+    def noisy(base):
+        out = []
+        for c in base:
+            r = rng.random()
+            if r < 0.04:
+                out.append(rng.choice(list("ACGT")))
+            elif r < 0.06:
+                continue
+            else:
+                out.append(c)
+                if rng.random() < 0.02:
+                    out.append(rng.choice(list("ACGT")))
+        return "".join(out)[: W - 1]
 
-    # build a handful of distinct graphs and tile them across the batch
-    n_unique = min(B, 4)
+    codes = np.zeros((B, 1, N), np.int32)
+    preds = np.zeros((B, P, N), np.int32)
+    sink = np.ones((B, 1, N), np.int32)
+    nid = np.zeros((B, 1, N), np.int32)
+    nn = np.ones((B, 1, 1), np.int32)
+    seqp = np.full((B, D, W), 0xFF, np.int32)
+    seqp[:, :, 1] = 0
+    slen = np.ones((B, 1, D), np.int32)
+
     built = []
-    for u in range(n_unique):
+    for u in range(min(B, 4)):
         base = "".join(rng.choice(list("ACGT"), size=base_len))
         g = PoaGraph()
-        for _ in range(depth):
-            mut = []
-            for c in base:
-                r = rng.random()
-                if r < 0.04:
-                    mut.append(rng.choice(list("ACGT")))
-                elif r < 0.06:
-                    continue
-                else:
-                    mut.append(c)
-                    if rng.random() < 0.02:
-                        mut.append(rng.choice(list("ACGT")))
-            q = encode("".join(mut)[: S - 1])
+        while True:
+            q = encode(noisy(base))
             aln = eng.align(q, g) if g.num_nodes() else []
             g.add_alignment(aln, q, np.ones(len(q), dtype=np.uint32))
-            if g.num_nodes() > N - 60:
+            if g.num_nodes() > N - 80 or len(g.sequences) >= 8:
                 break
         d = graph_to_dense(g, N, P)
         if d is None:
             continue
-        q = encode(
-            "".join(rng.choice(list("ACGT"), size=base_len))
-        )
-        built.append((d, q))
+        qs = [encode(noisy(base)) for _ in range(D)]
+        built.append((d, qs))
 
     for b in range(B):
-        d, q = built[b % len(built)]
-        codes_arr[b] = d["codes"]
-        preds_arr[b] = d["preds"]
-        node_id_arr[b] = d["node_id"]
-        sink_arr[b] = d["is_sink"]
-        nn_arr[b] = d["n_nodes"]
-        seq_arr[b, : len(q)] = q
-        sl_arr[b] = len(q)
-
-    return codes_arr, preds_arr, node_id_arr, sink_arr, nn_arr, seq_arr, sl_arr
+        d, qs = built[b % len(built)]
+        codes[b, 0] = d["codes"]
+        preds[b] = d["preds"].T
+        sink[b, 0] = d["is_sink"].astype(np.int32)
+        nid[b, 0] = d["node_id"]
+        nn[b, 0, 0] = d["n_nodes"]
+        for di, q in enumerate(qs):
+            seqp[b, di, 1 : 1 + len(q)] = q
+            slen[b, 0, di] = len(q)
+    cells = int((nn[:, 0, 0].astype(np.int64) * slen[:, 0].sum(axis=1)).sum())
+    return [codes, preds, sink, nid, nn, seqp, slen], cells
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from vechat_tpu.ops.kernels.poa_jax import poa_align_batch_device
+    from vechat_tpu.ops.kernels.poa_pallas import poa_align_pallas
 
-    B, N, S, P = 64, 1024, 511, 8
-    args_np = synth_batch(B, N, S, P)
-    args = [jnp.asarray(a) for a in args_np]
+    B, N, P, D, W = 256, 640, 8, 8, 512
+    sets = []
+    total_cells = 0
+    for s in range(2):
+        args_np, cells = synth_graph_batch(B, N, P, D, W, seed=s)
+        sets.append([jnp.asarray(a) for a in args_np])
+        total_cells += cells
 
-    def run():
-        return poa_align_batch_device(
-            *args, align_type="nw", m=3, x=-5, g=-4
-        )
+    def run(a):
+        return poa_align_pallas(*a, align_type="nw", m=3, x=-5, g=-4)
 
     # compile + warm
-    out = run()
-    jax.block_until_ready(out)
+    out = run(sets[0])
+    np.asarray(out[2])
 
-    iters = 5
+    # pipelined dispatch: queue all batches, then drain results (overlaps
+    # host<->device latency the way the real correction driver does)
+    iters = 6
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run()
-    jax.block_until_ready(out)
+    outs = [run(sets[i % 2]) for i in range(iters)]
+    for out in outs:
+        np.asarray(out[2])
     dt = (time.perf_counter() - t0) / iters
 
-    # cell updates actually computed: full padded grid drives the work
-    cells = B * N * (S + 1)
+    cells = total_cells / 2
     gcups = cells / dt / 1e9
 
     print(
         json.dumps(
             {
-                "metric": "poa_dp_gcups",
+                "metric": "poa_dp_traceback_gcups",
                 "value": round(gcups, 3),
                 "unit": "GCUPS",
                 "vs_baseline": round(gcups / BASELINE_GCUPS, 3),

@@ -77,6 +77,24 @@ def test_paf_roundtrip(tmp_path):
     assert out.read_text() == line
 
 
+def test_sam(tmp_path):
+    p = tmp_path / "x.sam"
+    p.write_text(
+        "@HD\tVN:1.6\n"
+        "q1\t0\tt1\t11\t60\t5S10M2I3M1D4M\t*\t0\t0\t*\t*\n"
+        "q2\t16\tt1\t1\t60\t10M\t*\t0\t0\t*\t*\n"
+        "q3\t4\tt1\t1\t60\t*\t*\t0\t0\t*\t*\n"
+    )
+    recs = read_paf(p)
+    assert len(recs) == 2  # unmapped q3 dropped (flag 0x4)
+    r = recs[0]
+    # reference semantics: src/overlap.cpp:44-108
+    assert (r.q_begin, r.q_end, r.q_length) == (5, 24, 24)
+    assert (r.t_begin, r.t_end) == (10, 28)
+    assert not r.strand and r.cigar == "5S10M2I3M1D4M"
+    assert recs[1].strand
+
+
 def test_mhap(tmp_path):
     p = tmp_path / "x.mhap"
     p.write_text("1 2 0.05 17 0 5 95 100 1 10 105 200\n")

@@ -1,0 +1,87 @@
+"""PallasAlignerBackend (interpret mode) vs host oracle, including the
+per-graph sequence packing."""
+
+import numpy as np
+import pytest
+
+import vechat_tpu.ops.kernels.backend as backend_mod
+from vechat_tpu.ops.encode import encode
+from vechat_tpu.ops.graph_align import LinearAligner
+from vechat_tpu.ops.kernels.backend import PallasAlignerBackend
+from vechat_tpu.ops.poagraph import PoaGraph
+
+
+def build_graph(seqs):
+    eng = LinearAligner("nw", 3, -5, -4)
+    gr = PoaGraph()
+    for s in seqs:
+        codes = encode(s)
+        aln = eng.align(codes, gr) if gr.num_nodes() else []
+        gr.add_alignment(aln, codes, np.ones(len(codes), dtype=np.uint32))
+    return gr
+
+
+def rand_seq(rng, n):
+    return "".join(rng.choice(list("ACGT"), size=n))
+
+
+def mutate(rng, seq, rate=0.1):
+    out = []
+    for c in seq:
+        r = rng.random()
+        if r < rate * 0.5:
+            out.append(rng.choice([b for b in "ACGT" if b != c]))
+        elif r < rate * 0.7:
+            continue
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+@pytest.fixture(autouse=True)
+def small_buckets(monkeypatch):
+    monkeypatch.setattr(backend_mod, "N_BUCKETS", (64, 128))
+    monkeypatch.setattr(backend_mod, "W_BUCKETS", (64, 128))
+    monkeypatch.setattr(backend_mod, "P_BUCKETS", (4, 8))
+
+
+def test_backend_packs_sequences_per_graph():
+    rng = np.random.default_rng(0)
+    base = rand_seq(rng, 40)
+    g1 = build_graph([mutate(rng, base) for _ in range(3)])
+    g2 = build_graph([mutate(rng, base) for _ in range(3)])
+    # several sequences against the same graph + a second graph + mixed modes
+    items = []
+    for _ in range(3):
+        items.append((encode(mutate(rng, base)), g1, "nw"))
+    items.append((encode(mutate(rng, base)), g2, "nw"))
+    items.append((encode(mutate(rng, base)), g1, "sw"))
+
+    be = PallasAlignerBackend(3, -5, -4, interpret=True)
+    got = be.align_batch(items)
+    assert be.fallbacks == 0
+    assert be.device_alignments == len(items)
+
+    host_nw = LinearAligner("nw", 3, -5, -4)
+    host_sw = LinearAligner("sw", 3, -5, -4)
+    for (codes, graph, mode), aln in zip(items, got):
+        eng = host_nw if mode == "nw" else host_sw
+        assert aln == eng.align(codes, graph)
+
+
+def test_backend_empty_and_oversize_fallback():
+    rng = np.random.default_rng(1)
+    big = build_graph([rand_seq(rng, 200)])  # exceeds the shrunken buckets
+    small = build_graph(["ACGTACGT"])
+    be = PallasAlignerBackend(3, -5, -4, interpret=True)
+    items = [
+        (np.array([], np.uint8), small, "nw"),
+        (encode("ACGT"), big, "nw"),
+        (encode("ACGTACGA"), small, "nw"),
+    ]
+    got = be.align_batch(items)
+    assert got[0] == []
+    assert be.fallbacks == 1
+    host = LinearAligner("nw", 3, -5, -4)
+    assert got[1] == host.align(encode("ACGT"), big)
+    assert got[2] == host.align(encode("ACGTACGA"), small)

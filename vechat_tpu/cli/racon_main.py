@@ -39,7 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-t", "--threads", type=int, default=1)
     p.add_argument(
         "--backend",
-        choices=["auto", "host", "jax"],
+        choices=["auto", "host", "jax", "pallas"],
         default="auto",
         help="alignment backend: device (jax) or host oracle",
     )
@@ -51,9 +51,27 @@ def make_backend(name: str, match: int, mismatch: int, gap: int):
         from ..pipeline.windows import HostAlignerBackend
 
         return HostAlignerBackend(match, mismatch, gap)
-    from ..ops.kernels.poa_jax import JaxAlignerBackend
+    if name == "jax":
+        from ..ops.kernels.poa_jax import JaxAlignerBackend
 
-    return JaxAlignerBackend(match, mismatch, gap)
+        return JaxAlignerBackend(match, mismatch, gap)
+    if name == "pallas":
+        from ..ops.kernels.backend import PallasAlignerBackend
+
+        return PallasAlignerBackend(match, mismatch, gap)
+    # auto: Pallas kernel on TPU, host oracle elsewhere
+    try:
+        import jax
+
+        if jax.default_backend() != "cpu":
+            from ..ops.kernels.backend import PallasAlignerBackend
+
+            return PallasAlignerBackend(match, mismatch, gap)
+    except Exception:
+        pass
+    from ..pipeline.windows import HostAlignerBackend
+
+    return HostAlignerBackend(match, mismatch, gap)
 
 
 def main(argv=None) -> int:

@@ -57,8 +57,15 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="use a precomputed PAF instead of the native overlapper (round 1)",
     )
-    p.add_argument("--backend", choices=["auto", "host", "jax"], default="auto")
+    p.add_argument("--backend", choices=["auto", "host", "jax", "pallas"], default="auto")
     p.add_argument("--keep-paf", default=None, help="write round-1 overlaps here")
+    p.add_argument(
+        "--min-corrected-length",
+        type=int,
+        default=0,
+        help="drop corrected reads shorter than this "
+        "(the scripts/filter_fa post-filter; HPC flow used 1000)",
+    )
     return p
 
 
@@ -233,6 +240,8 @@ def main(argv=None) -> int:
             ]
         logger.log(f"round {i} complete: {len(reads)} corrected reads")
 
+    if args.min_corrected_length > 0:
+        reads = [r for r in reads if len(r.data) >= args.min_corrected_length]
     write_fasta(reads, args.outfile)
     logger.total("total =")
     return 0

@@ -184,7 +184,14 @@ def _iter_fastq(fr: io.TextIOBase, shorten_names: bool) -> Iterator[SeqRecord]:
 def read_fastx(
     path: Union[str, os.PathLike],
     shorten_names: bool = True,
+    prefer_native: bool = True,
 ) -> List[SeqRecord]:
+    if prefer_native:
+        from .native import read_fastx_native
+
+        out = read_fastx_native(path, shorten_names)
+        if out is not None:
+            return out
     return list(iter_fastx(path, shorten_names))
 
 

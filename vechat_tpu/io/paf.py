@@ -106,10 +106,75 @@ def iter_mhap(path: Union[str, os.PathLike]) -> Iterator[PafRecord]:
             )
 
 
+def iter_sam(path: Union[str, os.PathLike]) -> Iterator[PafRecord]:
+    """SAM alignments as overlap records (reference: src/overlap.cpp:44-108).
+    Unmapped records (flag 0x4) are skipped; query begin/end/length come from
+    the CIGAR (clips count toward length), and are flipped to forward-strand
+    coordinates for reverse-strand alignments."""
+    import re
+
+    with _open_maybe_gz(path) as fr:
+        for line in fr:
+            if line.startswith("@"):
+                continue
+            f = line.rstrip("\n").split("\t")
+            if len(f) < 11:
+                raise ValueError(f"malformed SAM line: {line[:80]}")
+            flag = int(f[1])
+            if flag & 0x4:
+                continue
+            cigar = f[5]
+            if len(cigar) < 2:
+                raise ValueError("missing alignment from SAM record")
+            q_begin = 0
+            runs = re.findall(r"(\d+)([MIDNSHP=X])", cigar)
+            for num, op in runs:
+                if op in "SH":
+                    q_begin = int(num)
+                    break
+                if op in "M=IDNPX":
+                    break
+            q_aln = q_clip = t_aln = 0
+            for num, op in runs:
+                num = int(num)
+                if op in "M=X":
+                    q_aln += num
+                    t_aln += num
+                elif op == "I":
+                    q_aln += num
+                elif op in "DN":
+                    t_aln += num
+                elif op in "SH":
+                    q_clip += num
+            q_end = q_begin + q_aln
+            q_length = q_clip + q_aln
+            strand = bool(flag & 0x10)
+            if strand:
+                q_begin, q_end = q_length - q_end, q_length - q_begin
+            t_begin = int(f[3]) - 1
+            yield PafRecord(
+                q_name=f[0],
+                q_length=q_length,
+                q_begin=q_begin,
+                q_end=q_end,
+                strand=strand,
+                t_name=f[2],
+                t_length=0,  # filled from the target set (overlap.cpp:174)
+                t_begin=t_begin,
+                t_end=t_begin + t_aln,
+                num_matches=min(q_aln, t_aln),
+                alignment_length=max(q_aln, t_aln),
+                mapq=int(f[4]),
+                cigar=cigar,
+            )
+
+
 def read_paf(path: Union[str, os.PathLike], parse_cigar: bool = True) -> List[PafRecord]:
     p = os.fspath(path)
     if p.endswith((".mhap", ".mhap.gz")):
         return list(iter_mhap(path))
+    if p.endswith((".sam", ".sam.gz")):
+        return list(iter_sam(path))
     return list(iter_paf(path, parse_cigar))
 
 
