@@ -95,7 +95,7 @@ def main():
 
     from vechat_tpu.ops.kernels.poa_pallas import poa_align_pallas
 
-    B, N, P, D, W = 256, 640, 8, 8, 512
+    B, N, P, D, W = 64, 640, 8, 8, 512
     sets = []
     total_cells = 0
     for s in range(2):

@@ -1,0 +1,695 @@
+// Native POA variation-graph runtime — C++ twin of vechat_tpu/ops/poagraph.py
+// (the host oracle), exposed through a C API for ctypes. Same semantics as
+// the reference's modified spoa graph (vendor/spoa/src/graph.cpp), with every
+// order-sensitive behaviour preserved:
+//   * edge merge by first (tail->head) hit in out-edge insertion order
+//     (graph.cpp:94-107)
+//   * aligned-node ring construction order (graph.cpp:260-279)
+//   * iterative-DFS topological sort with aligned bundles adjacent
+//     (graph.cpp:301-371)
+//   * prune decisions computed against pre-prune state; IEEE 0/0 -> NaN
+//     comparisons keep-condition false (graph.cpp:811-982)
+//   * connected components discovered in id order, preorder DFS, `>=` size
+//     tie-break, weights reset to 0 in the extracted subgraph
+//     (graph.cpp:984-1089)
+//   * AddWeights gap-reset chains (graph.cpp:1104-1165)
+//   * heaviest-bundle consensus with `<=` predecessor tie-break
+//     (graph.cpp:534-638)
+// plus a scalar linear-gap sequence-to-graph aligner with the exact DP and
+// traceback preference order of the scalar reference engine
+// (sisd_alignment_engine.cpp:292-459) as the host fallback path.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <set>
+#include <vector>
+
+namespace {
+
+struct Edge {
+  int tail;
+  int head;
+  long long weight;
+  std::vector<int> labels;
+};
+
+struct Graph {
+  std::vector<int> codes;
+  std::vector<std::vector<int>> inedges;   // edge indices, insertion order
+  std::vector<std::vector<int>> outedges;  // edge indices, insertion order
+  std::vector<std::vector<int>> aligned;
+  std::vector<Edge> edges;
+  std::vector<int> sequences;  // begin node per sequence (-1 for none)
+  std::vector<int> rank_to_node;
+  std::vector<int> consensus;
+
+  int add_node(int code) {
+    codes.push_back(code);
+    inedges.emplace_back();
+    outedges.emplace_back();
+    aligned.emplace_back();
+    return static_cast<int>(codes.size()) - 1;
+  }
+
+  void add_edge(int tail, int head, long long weight) {
+    for (int ei : outedges[tail]) {
+      if (edges[ei].head == head) {
+        edges[ei].labels.push_back(static_cast<int>(sequences.size()));
+        edges[ei].weight += weight;
+        return;
+      }
+    }
+    Edge e;
+    e.tail = tail;
+    e.head = head;
+    e.weight = weight;
+    e.labels.push_back(static_cast<int>(sequences.size()));
+    edges.push_back(std::move(e));
+    int ei = static_cast<int>(edges.size()) - 1;
+    outedges[tail].push_back(ei);
+    inedges[head].push_back(ei);
+  }
+
+  int add_run(const uint8_t* s, const uint32_t* w, int begin, int end) {
+    if (begin == end) return -1;
+    int prev = -1;
+    for (int i = begin; i < end; ++i) {
+      int curr = add_node(s[i]);
+      if (prev != -1) {
+        add_edge(prev, curr, static_cast<long long>(w[i - 1]) + w[i]);
+      }
+      prev = curr;
+    }
+    return static_cast<int>(codes.size()) - (end - begin);
+  }
+
+  void topological_sort() {
+    int n = static_cast<int>(codes.size());
+    rank_to_node.clear();
+    rank_to_node.reserve(n);
+    std::vector<uint8_t> marks(n, 0);
+    std::vector<uint8_t> ignored(n, 0);
+    std::vector<int> stack;
+    for (int start = 0; start < n; ++start) {
+      if (marks[start] != 0) continue;
+      stack.push_back(start);
+      while (!stack.empty()) {
+        int curr = stack.back();
+        bool is_valid = true;
+        if (marks[curr] != 2) {
+          for (int ei : inedges[curr]) {
+            int t = edges[ei].tail;
+            if (marks[t] != 2) {
+              stack.push_back(t);
+              is_valid = false;
+            }
+          }
+          if (!ignored[curr]) {
+            for (int a : aligned[curr]) {
+              if (marks[a] != 2) {
+                stack.push_back(a);
+                ignored[a] = 1;
+                is_valid = false;
+              }
+            }
+          }
+          if (is_valid) {
+            marks[curr] = 2;
+            if (!ignored[curr]) {
+              rank_to_node.push_back(curr);
+              for (int a : aligned[curr]) rank_to_node.push_back(a);
+            }
+          } else {
+            marks[curr] = 1;
+          }
+        }
+        if (is_valid) stack.pop_back();
+      }
+    }
+  }
+
+  void add_alignment(const int* an, const int* ap, int alen, const uint8_t* s,
+                     int slen, const uint32_t* w) {
+    if (slen == 0) return;
+    if (alen == 0) {
+      sequences.push_back(add_run(s, w, 0, slen));
+      topological_sort();
+      return;
+    }
+    int vfront = -1, vback = -1;
+    for (int i = 0; i < alen; ++i) {
+      if (ap[i] != -1) {
+        if (vfront == -1) vfront = ap[i];
+        vback = ap[i];
+      }
+    }
+    int begin = add_run(s, w, 0, vfront);
+    int prev = begin != -1 ? static_cast<int>(codes.size()) - 1 : -1;
+    int last = add_run(s, w, vback + 1, slen);
+
+    for (int i = 0; i < alen; ++i) {
+      if (ap[i] == -1) continue;
+      int code = s[ap[i]];
+      int curr;
+      if (an[i] == -1) {
+        curr = add_node(code);
+      } else {
+        int jt = an[i];
+        if (codes[jt] == code) {
+          curr = jt;
+        } else {
+          curr = -1;
+          for (int k : aligned[jt]) {
+            if (codes[k] == code) {
+              curr = k;
+              break;
+            }
+          }
+          if (curr == -1) {
+            curr = add_node(code);
+            for (int k : aligned[jt]) {
+              aligned[k].push_back(curr);
+              aligned[curr].push_back(k);
+            }
+            aligned[jt].push_back(curr);
+            aligned[curr].push_back(jt);
+          }
+        }
+      }
+      if (begin == -1) begin = curr;
+      if (prev != -1) {
+        add_edge(prev, curr, static_cast<long long>(w[ap[i] - 1]) + w[ap[i]]);
+      }
+      prev = curr;
+    }
+    if (last != -1) {
+      add_edge(prev, last, static_cast<long long>(w[vback]) + w[vback + 1]);
+    }
+    sequences.push_back(begin);
+    topological_sort();
+  }
+
+  int add_weights(const int* an, const int* ap, int alen, int slen,
+                  const uint32_t* w) {
+    if (slen == 0) return 1;
+    if (alen == 0) return 0;  // unalignable read skipped (graph.cpp:1131-1134)
+    int prev = -1;
+    for (int i = 0; i < alen; ++i) {
+      if (an[i] == -1 || ap[i] == -1) {
+        prev = -1;
+        continue;
+      }
+      int curr = an[i];
+      if (prev != -1) {
+        add_edge(prev, curr, static_cast<long long>(w[ap[i] - 1]) + w[ap[i]]);
+      }
+      prev = curr;
+    }
+    return 1;
+  }
+
+  void prune(double min_conf, double min_supp, double avg_weight) {
+    size_t ne = edges.size();
+    std::vector<uint8_t> drop(ne, 0);
+    for (size_t i = 0; i < ne; ++i) {
+      const Edge& e = edges[i];
+      // min_weight is always 0 in the pipeline (src/window.cpp:311)
+      double total_out = 0;
+      for (int ei : outedges[e.tail]) total_out += edges[ei].weight;
+      double conf_uv = e.weight / total_out;  // 0/0 -> NaN -> pruned
+      double supp = e.weight / avg_weight;
+      double total_in = 0;
+      for (int ei : inedges[e.head]) total_in += edges[ei].weight;
+      double conf_vu = e.weight / total_in;
+      bool keep = conf_uv >= min_conf && conf_vu >= min_conf && supp >= min_supp;
+      drop[i] = keep ? 0 : 1;
+    }
+    // rebuild edge storage compactly, preserving relative order everywhere
+    std::vector<int> remap(ne, -1);
+    std::vector<Edge> kept;
+    kept.reserve(ne);
+    for (size_t i = 0; i < ne; ++i) {
+      if (!drop[i]) {
+        remap[i] = static_cast<int>(kept.size());
+        kept.push_back(std::move(edges[i]));
+      }
+    }
+    edges = std::move(kept);
+    for (auto& v : inedges) {
+      std::vector<int> nv;
+      for (int ei : v)
+        if (remap[ei] != -1) nv.push_back(remap[ei]);
+      v = std::move(nv);
+    }
+    for (auto& v : outedges) {
+      std::vector<int> nv;
+      for (int ei : v)
+        if (remap[ei] != -1) nv.push_back(remap[ei]);
+      v = std::move(nv);
+    }
+  }
+
+  // preorder DFS components: start ids ascending; neighbours = in-edge tails
+  // then out-edge heads, each in slot order (graph.cpp:984-1019)
+  Graph* largest_subgraph() const {
+    int n = static_cast<int>(codes.size());
+    std::vector<uint8_t> visited(n, 0);
+    std::vector<int> best;
+    std::vector<int> comp;
+    // iterative emulation of the recursive DFS preorder
+    struct Frame {
+      int node;
+      size_t next;
+      std::vector<int> adj;
+    };
+    for (int v0 = 0; v0 < n; ++v0) {
+      if (visited[v0]) continue;
+      comp.clear();
+      std::vector<Frame> stack;
+      auto adjacency = [&](int v) {
+        std::vector<int> adj;
+        for (int ei : inedges[v]) adj.push_back(edges[ei].tail);
+        for (int ei : outedges[v]) adj.push_back(edges[ei].head);
+        return adj;
+      };
+      visited[v0] = 1;
+      comp.push_back(v0);
+      stack.push_back({v0, 0, adjacency(v0)});
+      while (!stack.empty()) {
+        Frame& f = stack.back();
+        bool advanced = false;
+        while (f.next < f.adj.size()) {
+          int u = f.adj[f.next++];
+          if (!visited[u]) {
+            visited[u] = 1;
+            comp.push_back(u);
+            stack.push_back({u, 0, adjacency(u)});
+            advanced = true;
+            break;
+          }
+        }
+        if (!advanced) stack.pop_back();
+      }
+      if (comp.size() >= best.size()) best = comp;  // `>=`: last CC wins
+    }
+
+    Graph* sub = new Graph();
+    std::vector<int> v2sub(n, -1);
+    for (int v : best) {
+      v2sub[v] = sub->add_node(codes[v]);
+    }
+    for (int v : best) {
+      for (int ei : outedges[v]) {
+        // always a fresh edge, weight 0, label 0 (graph.cpp:1091-1096)
+        Edge e;
+        e.tail = v2sub[v];
+        e.head = v2sub[edges[ei].head];
+        e.weight = 0;
+        e.labels.push_back(0);
+        sub->edges.push_back(std::move(e));
+        int nei = static_cast<int>(sub->edges.size()) - 1;
+        sub->outedges[v2sub[v]].push_back(nei);
+        sub->inedges[v2sub[edges[ei].head]].push_back(nei);
+      }
+    }
+    sub->topological_sort();
+    return sub;
+  }
+
+  Graph* subgraph(int begin, int end, std::vector<int>* sub_to_graph) const {
+    int n = static_cast<int>(codes.size());
+    // backwards reachability from `end` down to ids >= `begin`
+    // (graph.cpp:640-666)
+    std::vector<uint8_t> keep(n, 0);
+    std::vector<int> stack{end};
+    while (!stack.empty()) {
+      int curr = stack.back();
+      stack.pop_back();
+      if (!keep[curr] && curr >= begin) {
+        for (int ei : inedges[curr]) stack.push_back(edges[ei].tail);
+        for (int a : aligned[curr]) stack.push_back(a);
+        keep[curr] = 1;
+      }
+    }
+    Graph* sub = new Graph();
+    std::vector<int> g2s(n, -1);
+    sub_to_graph->clear();
+    for (int v = 0; v < n; ++v) {
+      if (!keep[v]) continue;
+      int sv = sub->add_node(codes[v]);
+      g2s[v] = sv;
+      sub_to_graph->push_back(v);
+    }
+    for (int v = 0; v < n; ++v) {
+      if (!keep[v]) continue;
+      int sv = g2s[v];
+      for (int ei : inedges[v]) {
+        if (g2s[edges[ei].tail] != -1) {
+          sub->add_edge(g2s[edges[ei].tail], sv, edges[ei].weight);
+        }
+      }
+      for (int a : aligned[v]) {
+        if (g2s[a] != -1) sub->aligned[sv].push_back(g2s[a]);
+      }
+    }
+    sub->topological_sort();
+    return sub;
+  }
+
+  int coverage(int v) const {
+    std::set<int> labels;
+    for (int ei : inedges[v])
+      labels.insert(edges[ei].labels.begin(), edges[ei].labels.end());
+    for (int ei : outedges[v])
+      labels.insert(edges[ei].labels.begin(), edges[ei].labels.end());
+    return static_cast<int>(labels.size());
+  }
+
+  int branch_completion(int rank, std::vector<long long>* scores,
+                        std::vector<int>* preds) {
+    int start = rank_to_node[rank];
+    for (int ei : outedges[start]) {
+      for (int ej : inedges[edges[ei].head]) {
+        if (edges[ej].tail != start) (*scores)[edges[ej].tail] = -1;
+      }
+    }
+    int maxn = -1;
+    for (size_t i = rank + 1; i < rank_to_node.size(); ++i) {
+      int v = rank_to_node[i];
+      (*scores)[v] = -1;
+      (*preds)[v] = -1;
+      for (int ei : inedges[v]) {
+        const Edge& e = edges[ei];
+        if ((*scores)[e.tail] == -1) continue;
+        if ((*scores)[v] < e.weight ||
+            ((*scores)[v] == e.weight &&
+             (*scores)[(*preds)[v]] <= (*scores)[e.tail])) {
+          (*scores)[v] = e.weight;
+          (*preds)[v] = e.tail;
+        }
+      }
+      if ((*preds)[v] != -1) (*scores)[v] += (*scores)[(*preds)[v]];
+      if (maxn == -1 || (*scores)[maxn] < (*scores)[v]) maxn = v;
+    }
+    return maxn;
+  }
+
+  void traverse_heaviest_bundle() {
+    if (rank_to_node.empty()) return;
+    int n = static_cast<int>(codes.size());
+    std::vector<int> preds(n, -1);
+    std::vector<long long> scores(n, -1);
+    int maxn = -1;
+    for (int v : rank_to_node) {
+      for (int ei : inedges[v]) {
+        const Edge& e = edges[ei];
+        if (scores[v] < e.weight ||
+            (scores[v] == e.weight && scores[preds[v]] <= scores[e.tail])) {
+          scores[v] = e.weight;
+          preds[v] = e.tail;
+        }
+      }
+      if (preds[v] != -1) scores[v] += scores[preds[v]];
+      if (maxn == -1 || scores[maxn] < scores[v]) maxn = v;
+    }
+    if (!outedges[maxn].empty()) {
+      std::vector<int> rank_of(n, 0);
+      for (size_t i = 0; i < rank_to_node.size(); ++i)
+        rank_of[rank_to_node[i]] = static_cast<int>(i);
+      while (!outedges[maxn].empty()) {
+        maxn = branch_completion(rank_of[maxn], &scores, &preds);
+      }
+    }
+    consensus.clear();
+    while (preds[maxn] != -1) {
+      consensus.push_back(maxn);
+      maxn = preds[maxn];
+    }
+    consensus.push_back(maxn);
+    std::reverse(consensus.begin(), consensus.end());
+  }
+};
+
+// ------------------------- scalar linear aligner --------------------------
+
+constexpr int32_t kNegInf = std::numeric_limits<int32_t>::min() + 1024;
+
+// returns alignment length; fills out_nodes/out_pos (node id or -1, pos or -1)
+int align_linear(const Graph& g, const uint8_t* seq, int slen, int type,
+                 int m, int x, int gp, int* out_nodes, int* out_pos, int cap) {
+  int n = static_cast<int>(g.codes.size());
+  if (n == 0 || slen == 0) return 0;
+  int W = slen + 1;
+  std::vector<int> rank_of(n, 0);
+  for (size_t i = 0; i < g.rank_to_node.size(); ++i)
+    rank_of[g.rank_to_node[i]] = static_cast<int>(i);
+
+  std::vector<int32_t> H(static_cast<size_t>(n + 1) * W, 0);
+  auto row = [&](int i) { return H.data() + static_cast<size_t>(i) * W; };
+
+  if (type == 0) {  // nw
+    for (int j = 0; j < W; ++j) row(0)[j] = j * gp;
+    for (int v : g.rank_to_node) {
+      int i = rank_of[v] + 1;
+      int32_t pen;
+      if (g.inedges[v].empty()) {
+        pen = 0;
+      } else {
+        pen = kNegInf;
+        for (int ei : g.inedges[v])
+          pen = std::max(pen, row(rank_of[g.edges[ei].tail] + 1)[0]);
+      }
+      row(i)[0] = pen + gp;
+    }
+  } else if (type == 2) {  // ov
+    for (int j = 0; j < W; ++j) row(0)[j] = j * gp;
+  }
+
+  int32_t max_score = type == 1 ? 0 : kNegInf;
+  int max_i = 0, max_j = 0;
+
+  for (int v : g.rank_to_node) {
+    int i = rank_of[v] + 1;
+    int code = g.codes[v];
+    int32_t* Hr = row(i);
+    bool first = true;
+    const std::vector<int>& ins = g.inedges[v];
+    size_t np = ins.empty() ? 1 : ins.size();
+    for (size_t p = 0; p < np; ++p) {
+      int pi = ins.empty() ? 0 : rank_of[g.edges[ins[p]].tail] + 1;
+      const int32_t* Hp = row(pi);
+      for (int j = 1; j < W; ++j) {
+        int32_t prof = (seq[j - 1] == code) ? m : x;
+        int32_t cand = std::max(Hp[j - 1] + prof, Hp[j] + gp);
+        Hr[j] = first ? cand : std::max(Hr[j], cand);
+      }
+      first = false;
+    }
+    for (int j = 1; j < W; ++j) {
+      Hr[j] = std::max(Hr[j - 1] + gp, Hr[j]);
+      if (type == 1) {
+        Hr[j] = std::max(Hr[j], 0);
+        if (max_score < Hr[j]) {
+          max_score = Hr[j];
+          max_i = i;
+          max_j = j;
+        }
+      } else if (type == 0) {
+        if (g.outedges[v].empty() && j == W - 1 && max_score < Hr[j]) {
+          max_score = Hr[j];
+          max_i = i;
+          max_j = j;
+        }
+      } else {
+        if (g.outedges[v].empty() && max_score < Hr[j]) {
+          max_score = Hr[j];
+          max_i = i;
+          max_j = j;
+        }
+      }
+    }
+  }
+
+  if (max_i == 0 && max_j == 0) return 0;
+
+  // traceback, preference: diagonal per in-edge slot, vertical per slot,
+  // horizontal (sisd_alignment_engine.cpp:369-459)
+  std::vector<int> rn, rp;
+  int i = max_i, j = max_j;
+  auto keep_going = [&]() {
+    if (type == 1) return H[static_cast<size_t>(i) * W + j] != 0;
+    if (type == 0) return !(i == 0 && j == 0);
+    return !(i == 0 || j == 0);
+  };
+  int prev_i = 0, prev_j = 0;
+  while (keep_going()) {
+    int32_t h_ij = row(i)[j];
+    bool found = false;
+    if (i != 0 && j != 0) {
+      int v = g.rank_to_node[i - 1];
+      int32_t mc = (seq[j - 1] == g.codes[v]) ? m : x;
+      const std::vector<int>& ins = g.inedges[v];
+      size_t np = ins.empty() ? 1 : ins.size();
+      for (size_t p = 0; p < np && !found; ++p) {
+        int pi = ins.empty() ? 0 : rank_of[g.edges[ins[p]].tail] + 1;
+        if (h_ij == row(pi)[j - 1] + mc) {
+          prev_i = pi;
+          prev_j = j - 1;
+          found = true;
+        }
+      }
+    }
+    if (!found && i != 0) {
+      int v = g.rank_to_node[i - 1];
+      const std::vector<int>& ins = g.inedges[v];
+      size_t np = ins.empty() ? 1 : ins.size();
+      for (size_t p = 0; p < np && !found; ++p) {
+        int pi = ins.empty() ? 0 : rank_of[g.edges[ins[p]].tail] + 1;
+        if (h_ij == row(pi)[j] + gp) {
+          prev_i = pi;
+          prev_j = j;
+          found = true;
+        }
+      }
+    }
+    if (!found && h_ij == row(i)[j - 1] + gp) {
+      prev_i = i;
+      prev_j = j - 1;
+      found = true;
+    }
+    rn.push_back(i == prev_i ? -1 : g.rank_to_node[i - 1]);
+    rp.push_back(j == prev_j ? -1 : j - 1);
+    i = prev_i;
+    j = prev_j;
+  }
+  int cnt = static_cast<int>(rn.size());
+  if (cnt > cap) return -1;
+  for (int k = 0; k < cnt; ++k) {
+    out_nodes[k] = rn[cnt - 1 - k];
+    out_pos[k] = rp[cnt - 1 - k];
+  }
+  return cnt;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* poa_create() { return new Graph(); }
+void poa_free(void* g) { delete static_cast<Graph*>(g); }
+int poa_num_nodes(void* g) {
+  return static_cast<int>(static_cast<Graph*>(g)->codes.size());
+}
+int poa_num_edges(void* g) {
+  return static_cast<int>(static_cast<Graph*>(g)->edges.size());
+}
+long long poa_total_edge_weight(void* g) {
+  long long s = 0;
+  for (const auto& e : static_cast<Graph*>(g)->edges) s += e.weight;
+  return s;
+}
+
+void poa_add_alignment(void* g, const int* an, const int* ap, int alen,
+                       const uint8_t* s, int slen, const uint32_t* w) {
+  static_cast<Graph*>(g)->add_alignment(an, ap, alen, s, slen, w);
+}
+
+int poa_add_weights(void* g, const int* an, const int* ap, int alen, int slen,
+                    const uint32_t* w) {
+  return static_cast<Graph*>(g)->add_weights(an, ap, alen, slen, w);
+}
+
+void poa_prune(void* g, double min_conf, double min_supp, double avg_weight) {
+  static_cast<Graph*>(g)->prune(min_conf, min_supp, avg_weight);
+}
+
+void* poa_largest_subgraph(void* g) {
+  return static_cast<Graph*>(g)->largest_subgraph();
+}
+
+void* poa_subgraph(void* g, int begin, int end, int* out_map, int* out_len) {
+  std::vector<int> m;
+  Graph* sub = static_cast<Graph*>(g)->subgraph(begin, end, &m);
+  *out_len = static_cast<int>(m.size());
+  std::memcpy(out_map, m.data(), m.size() * sizeof(int));
+  return sub;
+}
+
+int poa_corrected(void* g, const int* an, int alen, uint8_t* out) {
+  Graph* gr = static_cast<Graph*>(g);
+  int k = 0;
+  for (int i = 0; i < alen; ++i) {
+    if (an[i] != -1) out[k++] = static_cast<uint8_t>(gr->codes[an[i]]);
+  }
+  return k;
+}
+
+int poa_consensus(void* g, uint8_t* out_codes, int* out_cov, int want_cov) {
+  Graph* gr = static_cast<Graph*>(g);
+  gr->traverse_heaviest_bundle();
+  int k = 0;
+  for (int v : gr->consensus) {
+    out_codes[k] = static_cast<uint8_t>(gr->codes[v]);
+    if (want_cov) {
+      int c = gr->coverage(v);
+      for (int a : gr->aligned[v]) c += gr->coverage(a);
+      out_cov[k] = c;
+    }
+    ++k;
+  }
+  return k;
+}
+
+int poa_max_in_degree(void* g) {
+  Graph* gr = static_cast<Graph*>(g);
+  int d = 0;
+  for (const auto& v : gr->inedges)
+    d = std::max(d, static_cast<int>(v.size()));
+  return d;
+}
+
+// dense export in DP-rank order for the device kernel: preds are DP row
+// indices (rank+1), slot order = in-edge insertion order, "no in-edges" ->
+// single pred pointing at row 0, padding repeats slot 0.
+int poa_dense(void* g, int n_cap, int p_cap, int* codes, int* preds,
+              int* node_id, int* sink, int* n_nodes) {
+  Graph* gr = static_cast<Graph*>(g);
+  int n = static_cast<int>(gr->codes.size());
+  if (n > n_cap) return 0;
+  std::vector<int> rank_of(n, 0);
+  for (size_t i = 0; i < gr->rank_to_node.size(); ++i)
+    rank_of[gr->rank_to_node[i]] = static_cast<int>(i);
+  std::memset(codes, 0, sizeof(int) * n_cap);
+  std::memset(preds, 0, sizeof(int) * n_cap * p_cap);
+  std::memset(node_id, 0, sizeof(int) * n_cap);
+  std::memset(sink, 0, sizeof(int) * n_cap);
+  for (int r = 0; r < n; ++r) {
+    int v = gr->rank_to_node[r];
+    codes[r] = gr->codes[v];
+    node_id[r] = v;
+    sink[r] = gr->outedges[v].empty() ? 1 : 0;
+    const auto& ins = gr->inedges[v];
+    if (static_cast<int>(ins.size()) > p_cap) return 0;
+    int first = ins.empty() ? 0 : rank_of[gr->edges[ins[0]].tail] + 1;
+    for (int p = 0; p < p_cap; ++p) {
+      // preds laid out slot-major [p_cap][n_cap] to match the kernel
+      preds[p * n_cap + r] =
+          p < static_cast<int>(ins.size())
+              ? rank_of[gr->edges[ins[p]].tail] + 1
+              : first;
+    }
+  }
+  *n_nodes = n;
+  return 1;
+}
+
+int poa_align(void* g, const uint8_t* seq, int slen, int type, int m, int x,
+              int gp, int* out_nodes, int* out_pos, int cap) {
+  return align_linear(*static_cast<Graph*>(g), seq, slen, type, m, x, gp,
+                      out_nodes, out_pos, cap);
+}
+
+}  // extern "C"

@@ -61,6 +61,9 @@ class PallasAlignerBackend:
         return 3, -5, -4
 
     def _host_align(self, codes, graph, mode):
+        if hasattr(graph, "align_host"):
+            m, x, g = self._scores(mode)
+            return graph.align_host(codes, mode, m, x, g)
         eng = self._host_nw if mode == "nw" else self._host_sw
         return eng.align(codes, graph)
 
@@ -98,7 +101,10 @@ class PallasAlignerBackend:
         for (mode, gid), idxs in graph_groups.items():
             graph = graph_of[gid]
             nn = graph.num_nodes()
-            max_deg = max((len(ins) for ins in graph.inedges), default=0)
+            if hasattr(graph, "max_in_degree"):
+                max_deg = graph.max_in_degree()
+            else:
+                max_deg = max((len(ins) for ins in graph.inedges), default=0)
             max_sl = max(len(items[i][0]) for i in idxs)
             nb = _bucket(nn, N_BUCKETS)
             pb = _bucket(max(max_deg, 1), P_BUCKETS)

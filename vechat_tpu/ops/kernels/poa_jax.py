@@ -57,6 +57,17 @@ def graph_to_dense(
       is_sink[n_cap]  bool    node has no out-edges
       n_nodes         int32
     """
+    if hasattr(graph, "dense"):  # native C++ graph: fast path
+        d = graph.dense(n_cap, p_cap)
+        if d is None:
+            return None
+        return dict(
+            codes=d["codes"],
+            preds=np.ascontiguousarray(d["preds_pn"].T),
+            node_id=d["node_id"],
+            is_sink=d["is_sink"],
+            n_nodes=d["n_nodes"],
+        )
     n = graph.num_nodes()
     if n > n_cap:
         return None
@@ -307,7 +318,10 @@ class JaxAlignerBackend:
             if nn == 0 or sl == 0:
                 results[idx] = []
                 continue
-            max_deg = max((len(ins) for ins in graph.inedges), default=0)
+            if hasattr(graph, "max_in_degree"):
+                max_deg = graph.max_in_degree()
+            else:
+                max_deg = max((len(ins) for ins in graph.inedges), default=0)
             nb = _bucket(nn, N_BUCKETS)
             sb = _bucket(sl, S_BUCKETS)
             pb = _bucket(max(max_deg, 1), P_BUCKETS)

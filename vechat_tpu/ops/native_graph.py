@@ -1,0 +1,262 @@
+"""ctypes bindings for the native C++ POA graph runtime (csrc/poagraph.cpp).
+
+`NativePoaGraph` is duck-type compatible with the subset of
+ops.poagraph.PoaGraph used by the correction drivers and the device backend;
+it replaces the Python graph-op hot path (the reference keeps these ops in
+C++ too — vendor/spoa/src/graph.cpp). Falls back transparently: callers use
+`make_graph()` which returns the Python oracle when the toolchain is
+unavailable or VECHAT_NO_NATIVE is set.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .poagraph import Alignment, PoaGraph
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_SRC = os.path.join(_REPO_ROOT, "csrc", "poagraph.cpp")
+_LIB = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_poagraph_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_failed = False
+
+_i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+_u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+_u32p = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
+
+
+def _build():
+    if not os.path.exists(_SRC):
+        return None
+    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _LIB]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+        except Exception:
+            return None
+    lib = ctypes.CDLL(_LIB)
+    lib.poa_create.restype = ctypes.c_void_p
+    lib.poa_free.argtypes = [ctypes.c_void_p]
+    lib.poa_num_nodes.argtypes = [ctypes.c_void_p]
+    lib.poa_num_nodes.restype = ctypes.c_int
+    lib.poa_num_edges.argtypes = [ctypes.c_void_p]
+    lib.poa_num_edges.restype = ctypes.c_int
+    lib.poa_total_edge_weight.argtypes = [ctypes.c_void_p]
+    lib.poa_total_edge_weight.restype = ctypes.c_longlong
+    lib.poa_add_alignment.argtypes = [
+        ctypes.c_void_p, _i32p, _i32p, ctypes.c_int, _u8p, ctypes.c_int, _u32p,
+    ]
+    lib.poa_add_weights.argtypes = [
+        ctypes.c_void_p, _i32p, _i32p, ctypes.c_int, ctypes.c_int, _u32p,
+    ]
+    lib.poa_add_weights.restype = ctypes.c_int
+    lib.poa_prune.argtypes = [
+        ctypes.c_void_p, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+    ]
+    lib.poa_largest_subgraph.argtypes = [ctypes.c_void_p]
+    lib.poa_largest_subgraph.restype = ctypes.c_void_p
+    lib.poa_subgraph.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, _i32p,
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.poa_subgraph.restype = ctypes.c_void_p
+    lib.poa_corrected.argtypes = [ctypes.c_void_p, _i32p, ctypes.c_int, _u8p]
+    lib.poa_corrected.restype = ctypes.c_int
+    lib.poa_consensus.argtypes = [ctypes.c_void_p, _u8p, _i32p, ctypes.c_int]
+    lib.poa_consensus.restype = ctypes.c_int
+    lib.poa_max_in_degree.argtypes = [ctypes.c_void_p]
+    lib.poa_max_in_degree.restype = ctypes.c_int
+    lib.poa_dense.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, _i32p, _i32p, _i32p,
+        _i32p, ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.poa_dense.restype = ctypes.c_int
+    lib.poa_align.argtypes = [
+        ctypes.c_void_p, _u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, _i32p, _i32p, ctypes.c_int,
+    ]
+    lib.poa_align.restype = ctypes.c_int
+    return lib
+
+
+def get_lib():
+    global _lib, _failed
+    if _lib is not None or _failed:
+        return _lib
+    with _lock:
+        if _lib is None and not _failed:
+            _lib = _build()
+            _failed = _lib is None
+    return _lib
+
+
+def native_available() -> bool:
+    if os.environ.get("VECHAT_NO_NATIVE"):
+        return False
+    return get_lib() is not None
+
+
+_ALIGN_TYPE = {"nw": 0, "sw": 1, "ov": 2}
+
+
+class NativePoaGraph:
+    """Handle wrapper; mirrors the PoaGraph interface used by the drivers."""
+
+    __slots__ = ("_h", "_lib")
+
+    def __init__(self, handle=None):
+        self._lib = get_lib()
+        self._h = handle if handle is not None else self._lib.poa_create()
+
+    def __del__(self):
+        try:
+            if self._h:
+                self._lib.poa_free(self._h)
+                self._h = None
+        except Exception:
+            pass
+
+    # ---------------------------------------------------------------- basics
+
+    def num_nodes(self) -> int:
+        return self._lib.poa_num_nodes(self._h)
+
+    def num_edges(self) -> int:
+        return self._lib.poa_num_edges(self._h)
+
+    def total_edge_weight(self) -> int:
+        return self._lib.poa_total_edge_weight(self._h)
+
+    def max_in_degree(self) -> int:
+        return self._lib.poa_max_in_degree(self._h)
+
+    @staticmethod
+    def _split_aln(alignment: Alignment):
+        if alignment:
+            an = np.asarray([a for a, _ in alignment], dtype=np.int32)
+            ap = np.asarray([b for _, b in alignment], dtype=np.int32)
+        else:
+            an = np.empty(0, dtype=np.int32)
+            ap = np.empty(0, dtype=np.int32)
+        return np.ascontiguousarray(an), np.ascontiguousarray(ap)
+
+    def add_alignment(self, alignment: Alignment, codes, weights) -> None:
+        codes = np.ascontiguousarray(codes, dtype=np.uint8)
+        weights = np.ascontiguousarray(weights, dtype=np.uint32)
+        if len(codes) == 0:
+            return
+        if len(codes) != len(weights):
+            raise ValueError("sequence and weights are of unequal size")
+        an, ap = self._split_aln(alignment)
+        self._lib.poa_add_alignment(
+            self._h, an, ap, len(an), codes, len(codes), weights
+        )
+
+    def add_weights(self, alignment: Alignment, codes, weights) -> bool:
+        codes = np.ascontiguousarray(codes, dtype=np.uint8)
+        weights = np.ascontiguousarray(weights, dtype=np.uint32)
+        if len(codes) != len(weights):
+            raise ValueError("sequence and weights are of unequal size")
+        an, ap = self._split_aln(alignment)
+        return bool(
+            self._lib.poa_add_weights(self._h, an, ap, len(an), len(codes), weights)
+        )
+
+    def prune_graph(
+        self, min_weight, min_confidence, min_support, average_weight
+    ) -> None:
+        self._lib.poa_prune(
+            self._h, float(min_confidence), float(min_support), float(average_weight)
+        )
+
+    def largest_subgraph(self) -> "NativePoaGraph":
+        return NativePoaGraph(self._lib.poa_largest_subgraph(self._h))
+
+    def subgraph(self, begin: int, end: int) -> Tuple["NativePoaGraph", List[int]]:
+        out_map = np.zeros(max(self.num_nodes(), 1), dtype=np.int32)
+        out_len = ctypes.c_int(0)
+        h = self._lib.poa_subgraph(
+            self._h, int(begin), int(end), out_map, ctypes.byref(out_len)
+        )
+        return NativePoaGraph(h), [int(v) for v in out_map[: out_len.value]]
+
+    update_alignment = staticmethod(PoaGraph.update_alignment)
+
+    def generate_corrected_sequence(self, alignment: Alignment) -> List[int]:
+        an, _ = self._split_aln(alignment)
+        out = np.zeros(max(len(an), 1), dtype=np.uint8)
+        k = self._lib.poa_corrected(self._h, an, len(an), out)
+        return [int(v) for v in out[:k]]
+
+    def generate_consensus_with_coverage(self) -> Tuple[List[int], List[int]]:
+        cap = self.num_nodes() + 1
+        out = np.zeros(cap, dtype=np.uint8)
+        cov = np.zeros(cap, dtype=np.int32)
+        k = self._lib.poa_consensus(self._h, out, cov, 1)
+        return [int(v) for v in out[:k]], [int(v) for v in cov[:k]]
+
+    def generate_consensus(self) -> List[int]:
+        return self.generate_consensus_with_coverage()[0]
+
+    # ------------------------------------------------------- device interface
+
+    def dense(self, n_cap: int, p_cap: int) -> Optional[dict]:
+        codes = np.zeros(n_cap, dtype=np.int32)
+        preds = np.zeros(p_cap * n_cap, dtype=np.int32)
+        node_id = np.zeros(n_cap, dtype=np.int32)
+        sink = np.zeros(n_cap, dtype=np.int32)
+        nn = ctypes.c_int(0)
+        ok = self._lib.poa_dense(
+            self._h, n_cap, p_cap, codes, preds, node_id, sink, ctypes.byref(nn)
+        )
+        if not ok:
+            return None
+        return dict(
+            codes=codes.astype(np.uint8),
+            # kernel expects [P, N]; poa_dense writes slot-major already
+            preds_pn=preds.reshape(p_cap, n_cap),
+            node_id=node_id,
+            is_sink=sink.astype(bool),
+            n_nodes=int(nn.value),
+        )
+
+    def align_host(self, seq_codes, mode: str, m: int, x: int, g: int) -> Alignment:
+        """Native scalar fallback aligner (linear gap)."""
+        seq_codes = np.ascontiguousarray(seq_codes, dtype=np.uint8)
+        if len(seq_codes) == 0 or self.num_nodes() == 0:
+            return []
+        cap = self.num_nodes() + len(seq_codes) + 2
+        on = np.zeros(cap, dtype=np.int32)
+        op = np.zeros(cap, dtype=np.int32)
+        cnt = self._lib.poa_align(
+            self._h,
+            seq_codes,
+            len(seq_codes),
+            _ALIGN_TYPE[mode],
+            int(m),
+            int(x),
+            int(g),
+            on,
+            op,
+            cap,
+        )
+        if cnt < 0:
+            raise RuntimeError("native alignment overflow")
+        return list(zip(on[:cnt].tolist(), op[:cnt].tolist()))
+
+
+def make_graph():
+    """Factory: native graph when available, Python oracle otherwise."""
+    if native_available():
+        return NativePoaGraph()
+    return PoaGraph()

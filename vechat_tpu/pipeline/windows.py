@@ -69,9 +69,11 @@ class Window:
 
 
 class HostAlignerBackend:
-    """Batch aligner backend running the host oracle engines."""
+    """Batch aligner backend running on the host: native C++ engine when the
+    graph is native, numpy oracle otherwise."""
 
     def __init__(self, match: int, mismatch: int, gap: int):
+        self.match, self.mismatch, self.gap = match, mismatch, gap
         self.nw = LinearAligner("nw", match, mismatch, gap)
         # the local engine is ALWAYS 3/-5/-4 regardless of CLI scores
         # (reference: src/window.cpp:326)
@@ -80,8 +82,16 @@ class HostAlignerBackend:
     def align_batch(self, items: Sequence[Tuple[np.ndarray, PoaGraph, str]]):
         out = []
         for codes, graph, mode in items:
-            eng = self.nw if mode == "nw" else self.sw
-            out.append(eng.align(codes, graph))
+            if hasattr(graph, "align_host"):
+                if mode == "nw":
+                    out.append(
+                        graph.align_host(codes, "nw", self.match, self.mismatch, self.gap)
+                    )
+                else:
+                    out.append(graph.align_host(codes, "sw", 3, -5, -4))
+            else:
+                eng = self.nw if mode == "nw" else self.sw
+                out.append(eng.align(codes, graph))
         return out
 
 
@@ -122,13 +132,14 @@ def _build_phase(
     """Incremental POA build over all windows in lockstep layer steps.
     Returns (graphs, total_bases_weight per window, layer order per window).
     reference: src/window.cpp:84-136 (linear) / :197-298 (haplotype)."""
+    from ..ops.native_graph import make_graph
+
     graphs: List[PoaGraph] = []
     totals: List[float] = []
     orders: List[List[int]] = []
 
     for w in windows:
-        g = PoaGraph()
-        bq = w.backbone_quality
+        g = make_graph()
         bw = _backbone_weights(w)
         g.add_alignment([], w.backbone_codes, bw)
         graphs.append(g)
