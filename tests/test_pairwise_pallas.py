@@ -1,0 +1,139 @@
+"""Device pairwise (anchor-tiled NW) vs host edit aligner — interpret mode."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vechat_tpu.ops.kernels.pairwise_pallas import (
+    DSUB,
+    DevicePairwiseAligner,
+    pairwise_nw_pallas,
+    tile_cut_points,
+    _minimizer_anchors,
+)
+from vechat_tpu.ops.pairwise import cigar_spans, edit_distance
+from tests.test_pairwise import cigar_cost
+
+
+def rand_codes(rng, n):
+    return rng.integers(0, 4, size=n).astype(np.uint8)
+
+
+def noisy(rng, codes, rate=0.1):
+    out = []
+    for c in codes:
+        r = rng.random()
+        if r < rate * 0.5:
+            out.append((c + rng.integers(1, 4)) % 4)
+        elif r < rate * 0.7:
+            continue
+        else:
+            out.append(c)
+            if rng.random() < rate * 0.3:
+                out.append(rng.integers(0, 4))
+    return np.array(out, dtype=np.uint8)
+
+
+def run_kernel(tiles, T=32, W=32):
+    B = (len(tiles) + DSUB - 1) // DSUB
+    tcodes = np.zeros((B, T, 1, DSUB), np.int32)
+    tlen = np.ones((B, 1, DSUB), np.int32)
+    qcodes = np.full((B, DSUB, W), 0xFF, np.int32)
+    qcodes[:, :, 1] = 0
+    qlen = np.ones((B, 1, DSUB), np.int32)
+    for n, (q, t) in enumerate(tiles):
+        b, d = divmod(n, DSUB)
+        tcodes[b, : len(t), 0, d] = t
+        tlen[b, 0, d] = len(t)
+        qcodes[b, d, 1 : 1 + len(q)] = q
+        qlen[b, 0, d] = len(q)
+    pt, pq, count, dist = pairwise_nw_pallas(
+        jnp.asarray(tcodes),
+        jnp.asarray(tlen),
+        jnp.asarray(qcodes),
+        jnp.asarray(qlen),
+        interpret=True,
+    )
+    return map(np.asarray, (pt, pq, count, dist))
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_kernel_matches_host_small(seed):
+    rng = np.random.default_rng(seed)
+    tiles = []
+    for _ in range(DSUB + 1):  # 2 programs, one partially padded
+        t = rand_codes(rng, int(rng.integers(5, 28)))
+        q = noisy(rng, t, 0.15)
+        if len(q) == 0 or len(q) > 31:
+            q = rand_codes(rng, 10)
+        tiles.append((q, t))
+    pt, pq, count, dist = run_kernel(tiles)
+    L = pt.shape[2]
+    for n, (q, t) in enumerate(tiles):
+        b, d = divmod(n, DSUB)
+        c = int(count[b, 0, d])
+        tp = pt[b, d, L - c :]
+        qp = pq[b, d, L - c :]
+        ops = np.where(tp == -1, "I", np.where(qp == -1, "D", "M")).tolist()
+        from vechat_tpu.ops.pairwise import ops_to_cigar
+
+        cigar = ops_to_cigar(ops)
+        want = edit_distance(q, t)
+        assert cigar_cost(cigar, q, t) == want
+        assert int(dist[b, 0, d]) == want
+        assert cigar_spans(cigar) == (len(q), len(t))
+
+
+def test_tile_cut_points():
+    anchors = np.array([(100, 110), (200, 210), (300, 310), (400, 420)])
+    cuts = tile_cut_points(500, 520, anchors, 256)
+    assert cuts[0] == (0, 0)
+    assert cuts[-1] == (500, 520)
+    for (q0, t0), (q1, t1) in zip(cuts[:-1], cuts[1:]):
+        assert q1 - q0 <= 256 and t1 - t0 <= 256
+    # no usable anchors -> None
+    assert tile_cut_points(1000, 1000, np.empty((0, 2), np.int64), 256) is None
+
+
+def test_minimizer_anchors_on_similar_seqs():
+    rng = np.random.default_rng(1)
+    t = rand_codes(rng, 800)
+    q = noisy(rng, t, 0.05)
+    a = _minimizer_anchors(q, t)
+    assert len(a) > 5
+    # strictly increasing in both coordinates
+    assert (np.diff(a[:, 0]) > 0).all() and (np.diff(a[:, 1]) > 0).all()
+
+
+def test_device_aligner_small_pairs():
+    rng = np.random.default_rng(2)
+    aligner = DevicePairwiseAligner(interpret=True)
+    aligner.TILE_T = 31
+    aligner.TILE_W = 32
+    pairs = []
+    for _ in range(3):
+        t = rand_codes(rng, int(rng.integers(10, 28)))
+        q = noisy(rng, t, 0.1)[:28]
+        pairs.append((q, t))
+    cigars = aligner.edit_align_batch(pairs)
+    for (q, t), cg in zip(pairs, cigars):
+        assert cigar_spans(cg) == (len(q), len(t))
+        assert cigar_cost(cg, q, t) == edit_distance(q, t)
+
+
+def test_device_aligner_tiled_long_pair():
+    rng = np.random.default_rng(3)
+    aligner = DevicePairwiseAligner(interpret=True)
+    aligner.TILE_T = 31
+    aligner.TILE_W = 32
+    t = rand_codes(rng, 150)
+    q = noisy(rng, t, 0.04)
+    cigars = aligner.edit_align_batch([(q, t)])
+    cg = cigars[0]
+    assert cigar_spans(cg) == (len(q), len(t))
+    opt = edit_distance(q, t)
+    got = cigar_cost(cg, q, t)
+    # anchor-tiled alignment is near-optimal (cuts at exact-match anchors)
+    assert got <= opt * 1.3 + 5
+    assert aligner.device_tiles > 1  # actually tiled

@@ -40,14 +40,14 @@ def mutate(rng, seq, rate=0.1):
 
 @pytest.fixture(autouse=True)
 def small_buckets(monkeypatch):
-    monkeypatch.setattr(backend_mod, "N_BUCKETS", (64, 128))
-    monkeypatch.setattr(backend_mod, "W_BUCKETS", (64, 128))
+    monkeypatch.setattr(backend_mod, "N_BUCKETS", (32, 64))
+    monkeypatch.setattr(backend_mod, "W_BUCKETS", (32,))
     monkeypatch.setattr(backend_mod, "P_BUCKETS", (4, 8))
 
 
 def test_backend_packs_sequences_per_graph():
     rng = np.random.default_rng(0)
-    base = rand_seq(rng, 40)
+    base = rand_seq(rng, 20)
     g1 = build_graph([mutate(rng, base) for _ in range(3)])
     g2 = build_graph([mutate(rng, base) for _ in range(3)])
     # several sequences against the same graph + a second graph + mixed modes
@@ -71,7 +71,7 @@ def test_backend_packs_sequences_per_graph():
 
 def test_backend_empty_and_oversize_fallback():
     rng = np.random.default_rng(1)
-    big = build_graph([rand_seq(rng, 200)])  # exceeds the shrunken buckets
+    big = build_graph([rand_seq(rng, 100)])  # exceeds the shrunken buckets
     small = build_graph(["ACGTACGT"])
     be = PallasAlignerBackend(3, -5, -4, interpret=True)
     items = [

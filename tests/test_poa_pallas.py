@@ -97,12 +97,12 @@ def pack_and_run(graphs, seq_lists, mode, N, P, W, m=3, x=-5, g=-4):
 @pytest.mark.parametrize("mode", ["nw", "sw"])
 def test_pallas_matches_host_small(mode):
     rng = np.random.default_rng(0)
-    base = rand_seq(rng, 50)
-    graphs = [build_graph([mutate(rng, base) for _ in range(3)]) for _ in range(2)]
+    base = rand_seq(rng, 24)
+    graphs = [build_graph([mutate(rng, base) for _ in range(2)]) for _ in range(2)]
     seq_lists = [
         [encode(mutate(rng, base)) for _ in range(2)] for _ in range(2)
     ]
-    got, score = pack_and_run(graphs, seq_lists, mode, N=128, P=4, W=128)
+    got, score = pack_and_run(graphs, seq_lists, mode, N=64, P=4, W=32)
 
     host = LinearAligner(mode, 3, -5, -4) if mode == "sw" else LinearAligner(
         "nw", 3, -5, -4
@@ -118,9 +118,9 @@ def test_pallas_matches_host_small(mode):
 
 def test_pallas_ov_mode():
     rng = np.random.default_rng(1)
-    graphs = [build_graph([rand_seq(rng, 40)])]
-    q = encode(rand_seq(rng, 30))
-    got, score = pack_and_run(graphs, [[q]], "ov", N=64, P=4, W=64)
+    graphs = [build_graph([rand_seq(rng, 20)])]
+    q = encode(rand_seq(rng, 16))
+    got, score = pack_and_run(graphs, [[q]], "ov", N=32, P=4, W=32)
     host = LinearAligner("ov", 3, -5, -4)
     want, wscore = host.align(q, graphs[0], return_score=True)
     assert got[0][0] == want
@@ -129,10 +129,10 @@ def test_pallas_ov_mode():
 
 def test_pallas_deep_graph():
     rng = np.random.default_rng(2)
-    base = rand_seq(rng, 80)
-    gr = build_graph([mutate(rng, base) for _ in range(8)])
-    qs = [encode(mutate(rng, base)) for _ in range(4)]
-    got, score = pack_and_run([gr], [qs], "sw", N=256, P=8, W=128)
+    base = rand_seq(rng, 30)
+    gr = build_graph([mutate(rng, base) for _ in range(5)])
+    qs = [encode(mutate(rng, base)) for _ in range(3)]
+    got, score = pack_and_run([gr], [qs], "sw", N=96, P=8, W=64)
     host = LinearAligner("sw", 3, -5, -4)
     for di, q in enumerate(qs):
         want, wscore = host.align(q, gr, return_score=True)

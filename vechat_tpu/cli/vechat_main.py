@@ -60,6 +60,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", choices=["auto", "host", "jax", "pallas"], default="auto")
     p.add_argument("--keep-paf", default=None, help="write round-1 overlaps here")
     p.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="capture a jax profiler trace of the run into DIR "
+        "(view with tensorboard / xprof)",
+    )
+    p.add_argument(
+        "--consensus-only",
+        action="store_true",
+        help="run only the >=0.99-identity linear consensus round on the "
+        "input (the scripts/vechat.iter2.py standalone driver)",
+    )
+    p.add_argument(
         "--min-corrected-length",
         type=int,
         default=0,
@@ -214,6 +227,13 @@ def main(argv=None) -> int:
     logger = Logger()
     logger.tick()
 
+    profiler_ctx = None
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+        profiler_ctx = args.profile
+
     reads = read_fastx(args.sequences)
     logger.log(f"loaded {len(reads)} reads")
 
@@ -224,9 +244,16 @@ def main(argv=None) -> int:
         reads = scrub_reads(reads, scrub_overlaps, min_coverage=min_cov)
         logger.log(f"scrubbed to {len(reads)} reads")
 
-    iterations = 1 if args.linear else 2
-    for i in range(1, iterations + 1):
-        overlaps_path = args.overlaps if i == 1 else None
+    if args.consensus_only:
+        # standalone consensus round (reference: scripts/vechat.iter2.py)
+        rounds = [2]
+    elif args.linear:
+        rounds = [1]
+    else:
+        rounds = [1, 2]
+    iterations = len(rounds)
+    for idx, i in enumerate(rounds, start=1):
+        overlaps_path = args.overlaps if idx == 1 else None
         if args.split:
             reads = run_round_split(reads, i, args, logger, overlaps_path)
         else:
@@ -234,7 +261,7 @@ def main(argv=None) -> int:
         # the reference round-trips through FASTA files between rounds, which
         # truncates names at the first whitespace (bioparser Shorten); mirror
         # that so round-2 headers match (e.g. "read0r" + new tags)
-        if i < iterations:
+        if idx < iterations:
             reads = [
                 SeqRecord(r.name.split()[0], r.data, r.quality) for r in reads
             ]
@@ -243,6 +270,11 @@ def main(argv=None) -> int:
     if args.min_corrected_length > 0:
         reads = [r for r in reads if len(r.data) >= args.min_corrected_length]
     write_fasta(reads, args.outfile)
+    if profiler_ctx:
+        import jax
+
+        jax.profiler.stop_trace()
+        logger.log(f"profiler trace written to {profiler_ctx}")
     logger.total("total =")
     return 0
 

@@ -54,6 +54,16 @@ class PallasAlignerBackend:
         self.device_alignments = 0
         self.cell_updates = 0
         self._dense_cache: Dict[Tuple[int, int, int], Optional[dict]] = {}
+        self._pairwise = None
+
+    def edit_align_batch(self, pairs):
+        """Overlap alignment on device (anchor-tiled NW kernel); the Polisher
+        picks this up via duck typing (pipeline/polisher.py)."""
+        if self._pairwise is None:
+            from .pairwise_pallas import DevicePairwiseAligner
+
+            self._pairwise = DevicePairwiseAligner(interpret=self.interpret)
+        return self._pairwise.edit_align_batch(pairs)
 
     def _scores(self, mode: str) -> Tuple[int, int, int]:
         if mode == "nw":

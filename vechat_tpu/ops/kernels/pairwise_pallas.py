@@ -1,0 +1,385 @@
+"""Pallas TPU kernel: batched pairwise global edit-distance alignment.
+
+The device path for the reference's Hot Loop #1 — per-overlap edlib NW
+(src/overlap.cpp:205-224). TPU-native design, not a translation:
+
+* Long overlaps are CUT AT MINIMIZER ANCHORS into ~tile-sized sub-alignments
+  (seed-and-tile, the same trust-the-anchor argument minimap2's extension
+  alignment makes); each tile is a small global NW in edit-distance scoring
+  (match 0, mismatch/indel -1, maximised).
+* The kernel packs 8 tile pairs into the sublane axis of one program: both
+  DP inputs are pure sequences, so every row step reads only the previous
+  row — no dynamic gathers at all. H lives in VMEM [T+1, 8, W].
+* Directions precompute during the DP (diag > vertical > horizontal — the
+  same preference as ops/pairwise.py's host traceback: diag, 'D', 'I'), and
+  the walks run in-kernel, emitting (ti, qi | -1) pair streams that the host
+  converts to CIGAR runs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -(2**28)
+DSUB = 8  # tile pairs per program (sublane packing)
+
+
+def _kernel(
+    tcodes_ref,  # [1, T, 1, DSUB] int32: target codes, row-major
+    tlen_ref,  # [1, 1, DSUB] int32
+    qcodes_ref,  # [1, DSUB, W] int32: query codes at lane j -> pos j-1
+    qlen_ref,  # [1, 1, DSUB] int32
+    pairs_t_ref,  # [1, DSUB, L] int32 out: target pos | -1
+    pairs_q_ref,  # [1, DSUB, L] int32 out: query pos | -1
+    count_ref,  # [1, 1, DSUB] int32 out
+    dist_ref,  # [1, 1, DSUB] int32 out: edit distance
+    H,  # [T+1, DSUB, W] int32 scratch
+    DIR,  # [T+1, DSUB, W] int8 scratch
+    *,
+    T: int,
+    W: int,
+    L: int,
+):
+    g = jnp.int32(-1)
+    neg = jnp.int32(NEG)
+    jlane = lax.broadcasted_iota(jnp.int32, (DSUB, W), 1)
+    seqp = qcodes_ref[0]  # [DSUB, W]
+    qlen = qlen_ref[0, 0].reshape(DSUB, 1)
+    tlen = tlen_ref[0, 0].reshape(DSUB, 1)
+
+    # row 0: all-horizontal
+    H[0] = jlane * g
+    DIR[0] = jnp.full((DSUB, W), 2, jnp.int8)  # 2 = horizontal
+
+    log_w = int(np.ceil(np.log2(W)))
+
+    def step(r, _):
+        trow = tcodes_ref[0, r, 0].reshape(DSUB, 1)  # [DSUB, 1]
+        prof = jnp.where(seqp == trow, jnp.int32(0), jnp.int32(-1))
+        row = H[r]
+        ds = pltpu.roll(row, 1, axis=1)
+        diag = jnp.where(jlane == 0, neg, ds) + prof
+        vert = row + g
+        # rows beyond this tile's target length replicate the final row so
+        # the NW answer sits at (tlen, qlen) regardless of padding
+        acc = jnp.maximum(diag, vert)
+        c0 = row[:, 0:1] + g
+        val = jnp.where(jlane == 0, c0, acc)
+        t = val - jlane * g
+        for sh in range(log_w):
+            s = 1 << sh
+            rolled = pltpu.roll(t, s, axis=1)
+            rolled = jnp.where(jlane < s, neg, rolled)
+            t = jnp.maximum(t, rolled)
+        run = t + jlane * g
+        # freeze rows past the target end (copy previous row unchanged)
+        past = r >= tlen  # [DSUB, 1]
+        run = jnp.where(past, row, run)
+        H[r + 1] = run
+
+        d_dir = jnp.full((DSUB, W), 2, jnp.int32)  # horizontal
+        d_dir = jnp.where(run == vert, 1, d_dir)  # vertical
+        d_dir = jnp.where(run == diag, 0, d_dir)  # diagonal (top priority)
+        DIR[r + 1] = jnp.where(past, DIR[r], d_dir.astype(jnp.int8))
+        return 0
+
+    lax.fori_loop(0, T, step, 0)
+
+    # result cell per tile: (tlen, qlen); score = -edit_distance
+    final = H[T]  # [DSUB, W] (rows frozen past tlen)
+    score = jnp.max(jnp.where(jlane == qlen, final, neg), axis=1, keepdims=True)
+    dist_ref[0, 0] = (-score)[:, 0]
+
+    # walks
+    jl1 = lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    lanesL = lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    counts = []
+    for d in range(DSUB):
+        i0 = tlen[d, 0]
+        j0 = qlen[d, 0]
+
+        def cond(state):
+            return state[3]
+
+        def body(state):
+            i, j, k, ok, pt, pq = state
+            rowd = DIR[i, d].reshape(1, W).astype(jnp.int32)
+            dirv = jnp.sum(jnp.where(jl1 == j, rowd, 0))
+            is_diag = dirv == 0
+            is_vert = dirv == 1
+            prev_i = jnp.where(is_diag | is_vert, i - 1, i)
+            prev_j = jnp.where(is_diag | (~is_vert), j - 1, j)
+            upd = lanesL == (L - 1 - k)
+            pt = jnp.where(upd, jnp.where(i == prev_i, -1, i - 1), pt)
+            pq = jnp.where(upd, jnp.where(j == prev_j, -1, j - 1), pq)
+            i, j, k = prev_i, prev_j, k + 1
+            return i, j, k, ~((i == 0) & (j == 0)), pt, pq
+
+        pt0 = jnp.full((1, L), -2, jnp.int32)
+        pq0 = jnp.full((1, L), -2, jnp.int32)
+        started = ~((i0 == 0) & (j0 == 0))
+        _, _, k_fin, _, pt, pq = lax.while_loop(
+            cond, body, (i0, j0, jnp.int32(0), started, pt0, pq0)
+        )
+        pairs_t_ref[0, pl.ds(d, 1), :] = pt
+        pairs_q_ref[0, pl.ds(d, 1), :] = pq
+        counts.append(jnp.where(started, k_fin, 0))
+
+    count_ref[0, 0] = jnp.stack(counts)
+
+
+def _pairwise_nw_pallas_impl(
+    tcodes,  # [B, T, 1, DSUB] int32
+    tlen,  # [B, 1, DSUB] int32
+    qcodes,  # [B, DSUB, W] int32
+    qlen,  # [B, 1, DSUB] int32
+    interpret: bool = False,
+):
+    B, T = tcodes.shape[0], tcodes.shape[1]
+    W = qcodes.shape[2]
+    L = T + W
+
+    kernel = functools.partial(_kernel, T=T, W=W, L=L)
+    vmem = lambda shape: pl.BlockSpec(
+        shape, lambda b: (b,) + (0,) * (len(shape) - 1), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            vmem((1, T, 1, DSUB)),
+            vmem((1, 1, DSUB)),
+            vmem((1, DSUB, W)),
+            vmem((1, 1, DSUB)),
+        ],
+        out_specs=(
+            vmem((1, DSUB, L)),
+            vmem((1, DSUB, L)),
+            vmem((1, 1, DSUB)),
+            vmem((1, 1, DSUB)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, DSUB, L), jnp.int32),
+            jax.ShapeDtypeStruct((B, DSUB, L), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, DSUB), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, DSUB), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((T + 1, DSUB, W), jnp.int32),
+            pltpu.VMEM((T + 1, DSUB, W), jnp.int8),
+        ],
+        interpret=interpret,
+    )(tcodes, tlen, qcodes, qlen)
+
+
+_pairwise_nw_pallas_jit = functools.partial(jax.jit, static_argnames=("interpret",))(
+    _pairwise_nw_pallas_impl
+)
+
+
+def pairwise_nw_pallas(*args, interpret: bool = False):
+    return _pairwise_nw_pallas_jit(*args, interpret=interpret)
+
+
+# ------------------------------------------------------ anchors and tiling
+
+
+def _minimizer_anchors(q: np.ndarray, t: np.ndarray, k: int = 15, w: int = 5):
+    """Colinear (q_pos, t_pos) anchors between two code arrays."""
+    from ...pipeline.overlapper import _hash64
+
+    def mins(codes):
+        n = len(codes) - k + 1
+        if n <= 0:
+            return np.empty(0, np.uint64), np.empty(0, np.int64)
+        window = np.lib.stride_tricks.sliding_window_view(codes, k)
+        weights = np.uint64(1) << (
+            np.uint64(2) * np.arange(k - 1, -1, -1, dtype=np.uint64)
+        )
+        km = (window.astype(np.uint64) * weights[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        h = _hash64(km)
+        if n <= w:
+            best = int(np.argmin(h))
+            return h[best : best + 1], np.array([best])
+        win = np.lib.stride_tricks.sliding_window_view(h, w)
+        arg = np.argmin(win, axis=1)
+        pos = np.unique(arg + np.arange(len(arg)))
+        return h[pos], pos.astype(np.int64)
+
+    qh, qp = mins(q)
+    th, tp = mins(t)
+    if len(qh) == 0 or len(th) == 0:
+        return np.empty((0, 2), np.int64)
+    order_t = np.argsort(th, kind="stable")
+    th_s, tp_s = th[order_t], tp[order_t]
+    lo = np.searchsorted(th_s, qh, side="left")
+    hi = np.searchsorted(th_s, qh, side="right")
+    anchors = []
+    for i in range(len(qh)):
+        for s in range(lo[i], min(hi[i], lo[i] + 4)):
+            anchors.append((int(qp[i]), int(tp_s[s])))
+    if not anchors:
+        return np.empty((0, 2), np.int64)
+    a = np.array(anchors, dtype=np.int64)
+    # densest diagonal band, then monotonic chain
+    diag = a[:, 0] - a[:, 1]
+    med = np.median(diag)
+    a = a[np.abs(diag - med) <= 200]
+    if len(a) == 0:
+        return np.empty((0, 2), np.int64)
+    a = a[np.lexsort((a[:, 0], a[:, 1]))]
+    keep = []
+    last_q = -1
+    last_t = -1
+    for qp_, tp_ in a:
+        if qp_ > last_q and tp_ > last_t:
+            keep.append((qp_, tp_))
+            last_q, last_t = qp_, tp_
+    return np.array(keep, dtype=np.int64) if keep else np.empty((0, 2), np.int64)
+
+
+def tile_cut_points(
+    q_len: int, t_len: int, anchors: np.ndarray, max_span: int
+) -> Optional[List[Tuple[int, int]]]:
+    """Cut positions (q, t) splitting the global alignment into tiles whose
+    q/t spans both fit max_span. None when anchor gaps are too large."""
+    cuts = [(0, 0)]
+    cq = ct = 0
+    ai = 0
+    n = len(anchors)
+    while t_len - ct > max_span or q_len - cq > max_span:
+        # furthest anchor keeping both spans within max_span
+        best = None
+        while ai < n:
+            aq, at = int(anchors[ai][0]), int(anchors[ai][1])
+            if aq - cq <= max_span and at - ct <= max_span:
+                if aq > cq and at > ct:
+                    best = (aq, at)
+                ai += 1
+            else:
+                break
+        if best is None:
+            return None
+        cuts.append(best)
+        cq, ct = best
+    cuts.append((q_len, t_len))
+    return cuts
+
+
+class DevicePairwiseAligner:
+    """Batched anchor-tiled NW on the pairwise kernel; returns CIGARs."""
+
+    TILE_T = 511  # target rows per tile bucket (T = 512 with +1)
+    TILE_W = 512  # query lanes (W)
+
+    def __init__(self, interpret: bool = False):
+        self.interpret = interpret
+        self.device_tiles = 0
+        self.host_fallbacks = 0
+
+    def edit_align_batch(self, pairs: Sequence[Tuple[np.ndarray, np.ndarray]]):
+        from ..pairwise import edit_align, ops_to_cigar
+
+        # 1. tile every pair
+        jobs = []  # (pair idx, tile order, q_sub, t_sub) or host marker
+        results_ops: List[List[Optional[List[str]]]] = []
+        for pi, (q, t) in enumerate(pairs):
+            q = np.asarray(q)
+            t = np.asarray(t)
+            max_span = self.TILE_T - 1
+            if len(q) <= max_span and len(t) <= max_span:
+                cuts = [(0, 0), (len(q), len(t))]
+            else:
+                anchors = _minimizer_anchors(q, t)
+                cuts = tile_cut_points(len(q), len(t), anchors, max_span)
+            if cuts is None:
+                self.host_fallbacks += 1
+                results_ops.append(None)  # full host fallback
+                continue
+            tiles = []
+            for (q0, t0), (q1, t1) in zip(cuts[:-1], cuts[1:]):
+                tiles.append((q[q0:q1], t[t0:t1]))
+            results_ops.append([None] * len(tiles))
+            for ti, (qs, ts) in enumerate(tiles):
+                jobs.append((pi, ti, qs, ts))
+
+        # 2. run device tiles in DSUB-packed batches
+        self._run_tiles(jobs, results_ops)
+
+        # 3. assemble CIGARs
+        out = []
+        for pi, (q, t) in enumerate(pairs):
+            if results_ops[pi] is None:
+                out.append(edit_align(np.asarray(q), np.asarray(t)))
+                continue
+            ops: List[str] = []
+            for tile_ops in results_ops[pi]:
+                ops.extend(tile_ops)
+            out.append(ops_to_cigar(ops))
+        return out
+
+    def _run_tiles(self, jobs, results_ops):
+        from ..pairwise import _full_dp_cigar
+
+        device_jobs = []
+        for job in jobs:
+            pi, ti, qs, ts = job
+            if len(qs) == 0 or len(ts) == 0 or len(qs) >= self.TILE_W:
+                # degenerate or oversized: host
+                self.host_fallbacks += 1
+                results_ops[pi][ti] = (
+                    ["I"] * len(qs)
+                    if len(ts) == 0
+                    else ["D"] * len(ts)
+                    if len(qs) == 0
+                    else _full_dp_cigar(qs, ts)
+                )
+            else:
+                device_jobs.append(job)
+
+        T, W = self.TILE_T + 1, self.TILE_W
+        for off in range(0, len(device_jobs), 64 * DSUB):
+            chunk = device_jobs[off : off + 64 * DSUB]
+            B = (len(chunk) + DSUB - 1) // DSUB
+            tcodes = np.zeros((B, T, 1, DSUB), np.int32)
+            tlen = np.ones((B, 1, DSUB), np.int32)
+            qcodes = np.full((B, DSUB, W), 0xFF, np.int32)
+            qcodes[:, :, 1] = 0
+            qlen = np.ones((B, 1, DSUB), np.int32)
+            tcodes[:, 0, 0, :] = 0
+            for n, (pi, ti, qs, ts) in enumerate(chunk):
+                b, d = divmod(n, DSUB)
+                tcodes[b, : len(ts), 0, d] = ts
+                tlen[b, 0, d] = len(ts)
+                qcodes[b, d, 1 : 1 + len(qs)] = qs
+                qlen[b, 0, d] = len(qs)
+            pt, pq, count, _ = pairwise_nw_pallas(
+                jnp.asarray(tcodes),
+                jnp.asarray(tlen),
+                jnp.asarray(qcodes),
+                jnp.asarray(qlen),
+                interpret=self.interpret,
+            )
+            pt = np.asarray(pt)
+            pq = np.asarray(pq)
+            count = np.asarray(count)
+            L = pt.shape[2]
+            for n, (pi, ti, qs, ts) in enumerate(chunk):
+                b, d = divmod(n, DSUB)
+                c = int(count[b, 0, d])
+                tp = pt[b, d, L - c :]
+                qp = pq[b, d, L - c :]
+                ops = np.where(tp == -1, "I", np.where(qp == -1, "D", "M"))
+                results_ops[pi][ti] = ops.tolist()
+                self.device_tiles += 1

@@ -99,15 +99,17 @@ def _kernel(
 
         acc = jnp.full((D, W), neg, jnp.int32)
         c0 = jnp.full((D, 1), neg, jnp.int32)
-        rows = []
+        diags = []  # per-slot diagonal candidate values (reused for DIR)
+        verts = []  # per-slot vertical candidate values
         for p in range(P):
             pr = preds_ref[0, p, r]
             row = H[pr]  # [D, W]
-            rows.append(row)
             ds = pltpu.roll(row, 1, axis=1)
-            ds = jnp.where(jlane == 0, neg, ds)
-            cand = jnp.maximum(ds + prof, row + gi)
-            acc = jnp.maximum(acc, cand)
+            diag = jnp.where(jlane == 0, neg, ds) + prof
+            vert = row + gi
+            diags.append(diag)
+            verts.append(vert)
+            acc = jnp.maximum(acc, jnp.maximum(diag, vert))
             c0 = jnp.maximum(c0, row[:, 0:1] + gi)
 
         if align_type != "nw":
@@ -129,10 +131,10 @@ def _kernel(
         # traceback directions, first-true priority (reverse-order writes)
         d_dir = jnp.full((D, W), 2 * P, jnp.int32)
         for p in reversed(range(P)):
-            d_dir = jnp.where(run == rows[p] + gi, P + p, d_dir)
+            d_dir = jnp.where(run == verts[p], P + p, d_dir)
         for p in reversed(range(P)):
-            ds = pltpu.roll(rows[p], 1, axis=1)
-            d_dir = jnp.where((jlane != 0) & (run == ds + prof), p, d_dir)
+            # diag candidate already has lane 0 poisoned to NEG
+            d_dir = jnp.where(run == diags[p], p, d_dir)
         if align_type == "sw":
             d_dir = jnp.where(run == 0, STOP, d_dir)
         DIR[r + 1] = d_dir.astype(jnp.int8)
@@ -237,10 +239,7 @@ def _kernel(
         count_ref[0, 0] = counts[0].reshape(1)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("align_type", "m", "x", "g", "interpret", "dp_only")
-)
-def poa_align_pallas(
+def _poa_align_pallas_impl(
     codes,  # [B, 1, N] int32
     preds,  # [B, P, N] int32
     sink,  # [B, 1, N] int32
@@ -313,3 +312,14 @@ def poa_align_pallas(
         ],
         interpret=interpret,
     )(codes, preds, sink, node_id, n_nodes, seqp, seq_len)
+
+
+_poa_align_pallas_jit = functools.partial(
+    jax.jit, static_argnames=("align_type", "m", "x", "g", "interpret", "dp_only")
+)(_poa_align_pallas_impl)
+
+
+def poa_align_pallas(*args, interpret: bool = False, **kw):
+    """interpret=True emulates the kernel through XLA (CPU testing); compile
+    cost is bounded by keeping test shapes small + the persistent cache."""
+    return _poa_align_pallas_jit(*args, interpret=interpret, **kw)

@@ -413,4 +413,18 @@ class Polisher:
                 num_polished_windows = 0
                 polished_data = []
         log.log("generated consensus")
+        # throughput counters (the reference has none; SURVEY §5 obs gap)
+        elapsed = max(log.time_, 1e-9)
+        log.count("windows", len(self.windows))
+        log.count("corrected_reads", len(dst))
+        be = self.backend
+        if hasattr(be, "cell_updates") and be.cell_updates:
+            log.count("device_alignments", getattr(be, "device_alignments", 0))
+            log.count("dp_cells", be.cell_updates)
+            print(
+                f"[vechat_tpu::polish] {len(self.windows)} windows, "
+                f"{len(dst)} reads, {be.cell_updates / 1e9:.3f} Gcells "
+                f"({be.cell_updates / elapsed / 1e9:.2f} GCUPS aggregate)",
+                file=log.stream,
+            )
         return dst
