@@ -2,6 +2,16 @@
 
 import numpy as np
 import pytest
+import os
+
+# Interpret-mode emulation of the kernels costs ~30s/test on CPU regardless of
+# caching; the exhaustive matrices run with VECHAT_FULL_KERNEL_TESTS=1 and,
+# authoritatively, on real hardware via scripts/validate_tpu.py. One smoke
+# case per kernel stays in the default suite.
+heavy = pytest.mark.skipif(
+    not os.environ.get("VECHAT_FULL_KERNEL_TESTS"),
+    reason="heavy interpret-mode kernel test (VECHAT_FULL_KERNEL_TESTS=1)",
+)
 
 import jax.numpy as jnp
 
@@ -94,6 +104,7 @@ def pack_and_run(graphs, seq_lists, mode, N, P, W, m=3, x=-5, g=-4):
     return out, np.asarray(score)
 
 
+@heavy
 @pytest.mark.parametrize("mode", ["nw", "sw"])
 def test_pallas_matches_host_small(mode):
     rng = np.random.default_rng(0)
@@ -127,6 +138,7 @@ def test_pallas_ov_mode():
     assert int(score[0, 0, 0]) == wscore
 
 
+@heavy
 def test_pallas_deep_graph():
     rng = np.random.default_rng(2)
     base = rand_seq(rng, 30)
