@@ -21,6 +21,7 @@ from ..pipeline.overlapper import (
     filter_fpa,
     filter_length_identity,
     find_overlaps,
+    refine_identity,
     scrub_reads,
 )
 from ..pipeline.polisher import POLISHER_FRAGMENT, Polisher
@@ -102,13 +103,21 @@ def run_round(
             overlaps = filter_length_identity(overlaps, min_block=500)
             overlaps = filter_fpa(overlaps)
         else:
-            # >=1000bp, >=0.99 identity consensus round (scripts/vechat:47-49)
+            # >=1000bp, >=0.99 identity consensus round (scripts/vechat:47-49):
+            # base-level identity like minimap2 -c, via exact re-alignment
+            overlaps = filter_length_identity(
+                overlaps, min_block=args.min_ovlplen_cns
+            )
+            overlaps = filter_fpa(overlaps)
+            from .racon_main import make_backend as _mb
+
+            be = _mb(args.backend, args.match, args.mismatch, args.gap)
+            overlaps = refine_identity(overlaps, reads, be)
             overlaps = filter_length_identity(
                 overlaps,
                 min_block=args.min_ovlplen_cns,
                 min_identity=args.min_identity_cns,
             )
-            overlaps = filter_fpa(overlaps)
         if args.keep_paf and iteration == 1:
             write_paf(overlaps, args.keep_paf)
     logger.log(f"round {iteration}: {len(overlaps)} overlaps")
@@ -189,13 +198,21 @@ def run_round_targets(
         overlaps = find_overlaps(list(pool.values()), params)
         if iteration == 1:
             overlaps = filter_length_identity(overlaps, min_block=500)
+            overlaps = filter_fpa(overlaps)
         else:
+            overlaps = filter_length_identity(
+                overlaps, min_block=args.min_ovlplen_cns
+            )
+            overlaps = filter_fpa(overlaps)
+            from .racon_main import make_backend as _mb
+
+            be = _mb(args.backend, args.match, args.mismatch, args.gap)
+            overlaps = refine_identity(overlaps, list(pool.values()), be)
             overlaps = filter_length_identity(
                 overlaps,
                 min_block=args.min_ovlplen_cns,
                 min_identity=args.min_identity_cns,
             )
-        overlaps = filter_fpa(overlaps)
         # keep only overlaps whose target is in this chunk
         tnames = {t.name for t in targets}
         overlaps = [ov for ov in overlaps if ov.t_name in tnames]

@@ -92,10 +92,12 @@ def _kernel(
         DIR[r + 1] = jnp.where(past, DIR[r], d_dir.astype(jnp.int8))
         return 0
 
-    lax.fori_loop(0, T, step, 0)
+    # dynamic trip count: the longest target in this program's 8 tiles
+    tmax = jnp.max(tlen)
+    lax.fori_loop(0, tmax, step, 0)
 
     # result cell per tile: (tlen, qlen); score = -edit_distance
-    final = H[T]  # [DSUB, W] (rows frozen past tlen)
+    final = H[tmax]  # [DSUB, W] (rows frozen past each tile's tlen)
     score = jnp.max(jnp.where(jlane == qlen, final, neg), axis=1, keepdims=True)
     dist_ref[0, 0] = (-score)[:, 0]
 

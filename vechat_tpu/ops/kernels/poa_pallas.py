@@ -154,7 +154,8 @@ def _kernel(
 
     init_best = jnp.full((D, W), 0 if align_type == "sw" else neg, jnp.int32)
     init_best_i = jnp.zeros((D, W), jnp.int32)
-    best, best_i = lax.fori_loop(0, N, dp_step, (init_best, init_best_i))
+    # dynamic trip count: stop at the real node count, not the padded bucket
+    best, best_i = lax.fori_loop(0, n_nodes, dp_step, (init_best, init_best_i))
 
     # ---- first maximal cell in (row, lane) scan order
     big = jnp.int32(2**28)

@@ -122,6 +122,52 @@ def edit_distance(q: np.ndarray, t: np.ndarray) -> int:
     return int(edit_distance_row(np.asarray(q), np.asarray(t))[-1])
 
 
+def edit_distance_infix(q: np.ndarray, t: np.ndarray) -> int:
+    """Infix ("HW") edit distance: q aligned somewhere inside t with free
+    target ends. The right metric for corrected reads, which are coverage-
+    TRIMMED relative to the raw read (racon kTGS trim semantics)."""
+    q = np.asarray(q)
+    t = np.asarray(t)
+    if len(q) == 0:
+        return 0
+    W = len(t) + 1
+    row = np.zeros(W, dtype=np.int32)  # free start in t
+    for i in range(1, len(q) + 1):
+        sub = np.where(t == q[i - 1], 0, 1).astype(np.int32)
+        diag = row[:-1] + sub
+        up = row[1:] + 1
+        new = np.minimum(diag, up)
+        full = np.empty(W, dtype=np.int32)
+        full[0] = i
+        full[1:] = new
+        jg = np.arange(W, dtype=np.int32)
+        row = np.minimum.accumulate(full - jg) + jg
+        row[0] = i
+    return int(row.min())  # free end in t
+
+
+def cigar_identity(cigar: str, q: np.ndarray, t: np.ndarray) -> tuple:
+    """(exact_matches, alignment_block_length) of a CIGAR over code arrays —
+    the PAF $10/$11 columns minimap2 -c reports (identity = matches/block)."""
+    import re
+
+    qi = ti = matches = block = 0
+    for num, op in re.findall(r"(\d+)([MIDNSHP=X])", cigar):
+        num = int(num)
+        if op in "M=X":
+            matches += int(np.sum(q[qi : qi + num] == t[ti : ti + num]))
+            qi += num
+            ti += num
+            block += num
+        elif op == "I":
+            qi += num
+            block += num
+        elif op in "DN":
+            ti += num
+            block += num
+    return matches, block
+
+
 def cigar_spans(cigar: str) -> tuple:
     """(query_consumed, target_consumed) of a CIGAR string."""
     import re

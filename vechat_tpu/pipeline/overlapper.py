@@ -258,6 +258,58 @@ def filter_fpa(
     return out
 
 
+def refine_identity(
+    overlaps: Sequence[PafRecord],
+    reads: Sequence[SeqRecord],
+    aligner=None,
+) -> List[PafRecord]:
+    """Replace the anchor-count identity estimate with exact base-level
+    identity (the minimap2 -c role for the consensus round,
+    scripts/vechat:47-49). Sets num_matches/alignment_length from a real
+    alignment of the overlap segments; stores the CIGAR for reuse."""
+    from ..ops.encode import encode
+    from ..ops.pairwise import cigar_identity, edit_align
+
+    by_name = {r.name: r for r in reads}
+    pairs = []
+    for ov in overlaps:
+        q = by_name[ov.q_name]
+        t = by_name[ov.t_name]
+        if ov.strand:
+            qs = q.reverse_complement[ov.q_length - ov.q_end : ov.q_length - ov.q_begin]
+        else:
+            qs = q.data[ov.q_begin : ov.q_end]
+        ts = t.data[ov.t_begin : ov.t_end]
+        pairs.append((encode(qs), encode(ts)))
+
+    if aligner is not None and hasattr(aligner, "edit_align_batch"):
+        cigars = aligner.edit_align_batch(pairs)
+    else:
+        cigars = [edit_align(q, t) for q, t in pairs]
+
+    out = []
+    for ov, cigar, (qc, tc) in zip(overlaps, cigars, pairs):
+        matches, block = cigar_identity(cigar, qc, tc)
+        out.append(
+            PafRecord(
+                q_name=ov.q_name,
+                q_length=ov.q_length,
+                q_begin=ov.q_begin,
+                q_end=ov.q_end,
+                strand=ov.strand,
+                t_name=ov.t_name,
+                t_length=ov.t_length,
+                t_begin=ov.t_begin,
+                t_end=ov.t_end,
+                num_matches=matches,
+                alignment_length=block,
+                mapq=ov.mapq,
+                cigar=cigar,
+            )
+        )
+    return out
+
+
 def filter_length_identity(
     overlaps: Sequence[PafRecord],
     min_block: int = 500,
