@@ -87,9 +87,18 @@ class PallasAlignerBackend:
                 self._dense_cache.clear()
         return d
 
+    # below this many alignments a device dispatch costs more than the native
+    # host aligner (tunnel round-trip ~50ms vs ~1ms/alignment on host)
+    MIN_DEVICE_ITEMS = 24
+
     def align_batch(
         self, items: Sequence[Tuple[np.ndarray, PoaGraph, str]]
     ) -> List[Alignment]:
+        if not self.interpret and len(items) < self.MIN_DEVICE_ITEMS:
+            return [
+                [] if (g.num_nodes() == 0 or len(c) == 0) else self._host_align(c, g, m)
+                for c, g, m in items
+            ]
         results: List[Optional[Alignment]] = [None] * len(items)
         # cache is only safe within one call: graph objects mutate between
         # calls and ids can be recycled by the GC

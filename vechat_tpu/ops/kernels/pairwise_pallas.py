@@ -290,8 +290,13 @@ class DevicePairwiseAligner:
         self.device_tiles = 0
         self.host_fallbacks = 0
 
+    MIN_DEVICE_PAIRS = 8
+
     def edit_align_batch(self, pairs: Sequence[Tuple[np.ndarray, np.ndarray]]):
         from ..pairwise import edit_align, ops_to_cigar
+
+        if not self.interpret and len(pairs) < self.MIN_DEVICE_PAIRS:
+            return [edit_align(np.asarray(q), np.asarray(t)) for q, t in pairs]
 
         # 1. tile every pair
         jobs = []  # (pair idx, tile order, q_sub, t_sub) or host marker
