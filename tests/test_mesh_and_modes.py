@@ -1,0 +1,167 @@
+"""Mesh sharding (8 virtual devices) + CLI mode coverage."""
+
+import numpy as np
+import pytest
+
+from vechat_tpu.io.fastx import SeqRecord, read_fastx, write_fastx
+
+
+def rand_seq(rng, n):
+    return "".join(rng.choice(list("ACGT"), size=n))
+
+
+def noisy(rng, s, rate=0.06):
+    out = []
+    for c in s:
+        r = rng.random()
+        if r < rate * 0.5:
+            out.append(rng.choice([b for b in "ACGT" if b != c]))
+        elif r < rate * 0.75:
+            continue
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def test_graft_entry_and_multichip():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import jax
+    from __graft_entry__ import entry, dryrun_multichip
+
+    fn, args = entry()
+    out = jax.jit(fn)(*[jax.numpy.asarray(a) for a in args])
+    jax.block_until_ready(out)
+    assert out[0].shape[0] == 8
+    dryrun_multichip(8)
+
+
+def test_sharded_poa_align_mesh():
+    import jax
+    import jax.numpy as jnp
+
+    from vechat_tpu.parallel.mesh import make_mesh, sharded_poa_align
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    mesh = make_mesh(8)
+    fn = sharded_poa_align(mesh, "nw", 3, -5, -4)
+
+    B, N, P, S = 8, 16, 4, 15
+    rng = np.random.default_rng(0)
+    codes = jnp.asarray(rng.integers(0, 4, (B, N)).astype(np.uint8))
+    preds = jnp.asarray(np.tile(np.arange(N, dtype=np.int32)[None, :, None], (B, 1, P)))
+    node_id = jnp.asarray(np.tile(np.arange(N, dtype=np.int32), (B, 1)))
+    sink = jnp.asarray(np.zeros((B, N), bool).copy())
+    sink = sink.at[:, -1].set(True)
+    n_nodes = jnp.full((B,), N, jnp.int32)
+    seq = jnp.asarray(rng.integers(0, 4, (B, S)).astype(np.uint8))
+    seq_len = jnp.full((B,), S, jnp.int32)
+    with mesh:
+        pairs, count, score = fn(codes, preds, node_id, sink, n_nodes, seq, seq_len)
+        jax.block_until_ready((pairs, count))
+    assert int(count[0]) > 0
+
+
+@pytest.fixture
+def small_dataset(tmp_path):
+    rng = np.random.default_rng(3)
+    genome = rand_seq(rng, 1800)
+    reads = []
+    for i in range(10):
+        start = int(rng.integers(0, 600))
+        d = noisy(rng, genome[start : start + 1200])
+        reads.append(SeqRecord(f"m{i}", d, "I" * len(d)))
+    p = tmp_path / "reads.fq"
+    write_fastx(reads, p, fmt="fq")
+    return p
+
+
+def test_vechat_split_mode(small_dataset, tmp_path):
+    from vechat_tpu.cli.vechat_main import main
+
+    out = tmp_path / "out.fa"
+    rc = main(
+        [
+            str(small_dataset),
+            "-o",
+            str(out),
+            "--platform",
+            "ont",
+            "--backend",
+            "host",
+            "--linear",
+            "--split",
+            "--split-size",
+            "16",  # 4 reads per fq chunk
+        ]
+    )
+    assert rc == 0
+    assert len(read_fastx(out)) > 0
+
+
+def test_vechat_consensus_only(small_dataset, tmp_path):
+    from vechat_tpu.cli.vechat_main import main
+
+    out = tmp_path / "out.fa"
+    rc = main(
+        [
+            str(small_dataset),
+            "-o",
+            str(out),
+            "--platform",
+            "ont",
+            "--backend",
+            "host",
+            "--consensus-only",
+            "--min-ovlplen-cns",
+            "300",
+            "--min-identity-cns",
+            "0.80",
+        ]
+    )
+    assert rc == 0
+    assert len(read_fastx(out)) > 0
+
+
+def test_vechat_scrub_mode(small_dataset, tmp_path):
+    from vechat_tpu.cli.vechat_main import main
+
+    out = tmp_path / "out.fa"
+    rc = main(
+        [
+            str(small_dataset),
+            "-o",
+            str(out),
+            "--platform",
+            "ont",
+            "--backend",
+            "host",
+            "--linear",
+            "--scrub",
+        ]
+    )
+    assert rc == 0
+
+
+def test_min_corrected_length(small_dataset, tmp_path):
+    from vechat_tpu.cli.vechat_main import main
+
+    out = tmp_path / "out.fa"
+    rc = main(
+        [
+            str(small_dataset),
+            "-o",
+            str(out),
+            "--platform",
+            "ont",
+            "--backend",
+            "host",
+            "--linear",
+            "--min-corrected-length",
+            "100000",
+        ]
+    )
+    assert rc == 0
+    assert read_fastx(out) == []
