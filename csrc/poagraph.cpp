@@ -692,4 +692,85 @@ int poa_align(void* g, const uint8_t* seq, int slen, int type, int m, int x,
                       out_nodes, out_pos, cap);
 }
 
+// Pairwise global edit-distance alignment (the edlib role, host fast path).
+// Identical DP and traceback tie-breaks to ops/pairwise.py:_full_dp_cigar
+// (diagonal, then 'D' = consume target, then 'I' = consume query), so the
+// CIGARs are byte-identical to the Python reference implementation.
+// Returns op count (ops written M/I/D into out_ops, forward order), or -1 on
+// overflow. Memory: one direction byte per cell + two rolling rows.
+int pw_align(const uint8_t* q, int lq, const uint8_t* t, int lt,
+             char* out_ops, int cap) {
+  if (lq == 0) {
+    if (lt > cap) return -1;
+    for (int j = 0; j < lt; ++j) out_ops[j] = 'D';
+    return lt;
+  }
+  if (lt == 0) {
+    if (lq > cap) return -1;
+    for (int i = 0; i < lq; ++i) out_ops[i] = 'I';
+    return lq;
+  }
+  size_t cells = static_cast<size_t>(lq + 1) * (lt + 1);
+  std::vector<uint8_t> dir(cells);  // 0 diag, 1 'D', 2 'I'
+  std::vector<int32_t> prev(lt + 1), curr(lt + 1);
+  for (int j = 0; j <= lt; ++j) {
+    prev[j] = j;
+    dir[j] = 1;  // top row: all 'D'
+  }
+  for (int i = 1; i <= lq; ++i) {
+    curr[0] = i;
+    dir[static_cast<size_t>(i) * (lt + 1)] = 2;  // left column: 'I'
+    const uint8_t qc = q[i - 1];
+    uint8_t* drow = dir.data() + static_cast<size_t>(i) * (lt + 1);
+    for (int j = 1; j <= lt; ++j) {
+      int32_t d = prev[j - 1] + (qc == t[j - 1] ? 0 : 1);
+      int32_t up = prev[j] + 1;
+      int32_t left = curr[j - 1] + 1;
+      // min with traceback preference diag > 'D'(left) > 'I'(up)
+      int32_t best = d;
+      uint8_t dd = 0;
+      if (left < best) {
+        best = left;
+        dd = 1;
+      }
+      if (up < best) {
+        best = up;
+        dd = 2;
+      }
+      // re-derive the preferred direction for equal costs, matching the
+      // Python traceback's check order
+      if (best == d) {
+        dd = 0;
+      } else if (best == left) {
+        dd = 1;
+      }
+      curr[j] = best;
+      drow[j] = dd;
+    }
+    std::swap(prev, curr);
+  }
+  // traceback
+  std::vector<char> ops;
+  ops.reserve(lq + lt);
+  int i = lq, j = lt;
+  while (i > 0 || j > 0) {
+    uint8_t dd = dir[static_cast<size_t>(i) * (lt + 1) + j];
+    if (i > 0 && j > 0 && dd == 0) {
+      ops.push_back('M');
+      --i;
+      --j;
+    } else if (j > 0 && (dd == 1 || i == 0)) {
+      ops.push_back('D');
+      --j;
+    } else {
+      ops.push_back('I');
+      --i;
+    }
+  }
+  int cnt = static_cast<int>(ops.size());
+  if (cnt > cap) return -1;
+  for (int k = 0; k < cnt; ++k) out_ops[k] = ops[cnt - 1 - k];
+  return cnt;
+}
+
 }  // extern "C"

@@ -86,6 +86,10 @@ def _build():
         ctypes.c_int, ctypes.c_int, _i32p, _i32p, ctypes.c_int,
     ]
     lib.poa_align.restype = ctypes.c_int
+    lib.pw_align.argtypes = [
+        _u8p, ctypes.c_int, _u8p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+    ]
+    lib.pw_align.restype = ctypes.c_int
     return lib
 
 

@@ -44,8 +44,35 @@ def edit_distance_row(q: np.ndarray, t: np.ndarray) -> np.ndarray:
     return row
 
 
+def _native_pw_ops(q: np.ndarray, t: np.ndarray):
+    """Native C++ full-DP path (identical tie-breaks); None if unavailable
+    or too large."""
+    if (len(q) + 1) * (len(t) + 1) > 256_000_000:
+        return None
+    try:
+        from .native_graph import get_lib
+    except ImportError:
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    cap = len(q) + len(t) + 2
+    buf = ctypes.create_string_buffer(cap)
+    qa = np.ascontiguousarray(q, dtype=np.uint8)
+    ta = np.ascontiguousarray(t, dtype=np.uint8)
+    n = lib.pw_align(qa, len(qa), ta, len(ta), buf, cap)
+    if n < 0:
+        return None
+    return list(buf.raw[:n].decode())
+
+
 def _full_dp_cigar(q: np.ndarray, t: np.ndarray) -> list:
     """Full-matrix DP with direction bits; returns list of ops."""
+    native = _native_pw_ops(q, t)
+    if native is not None:
+        return native
     lq, lt = len(q), len(t)
     H = np.zeros((lq + 1, lt + 1), dtype=np.int32)
     H[0, :] = np.arange(lt + 1)
