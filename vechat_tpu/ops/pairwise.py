@@ -19,8 +19,18 @@ from __future__ import annotations
 
 import numpy as np
 
-FULL_DP_MAX_CELLS = 4_000_000  # above this, switch to Hirschberg
+FULL_DP_MAX_CELLS = 4_000_000  # above this, switch to Hirschberg (numpy path)
+NATIVE_DP_MAX_CELLS = 64_000_000  # native C++ full DP handles up to ~8kb x 8kb
 FULL_DP_MIN_ROWS = 256  # always use full DP below this many query rows
+
+
+def _native_ready() -> bool:
+    try:
+        from .native_graph import get_lib
+
+        return get_lib() is not None
+    except ImportError:
+        return False
 
 
 def edit_distance_row(q: np.ndarray, t: np.ndarray) -> np.ndarray:
@@ -108,9 +118,10 @@ def _full_dp_cigar(q: np.ndarray, t: np.ndarray) -> list:
 
 def _hirschberg_ops(q: np.ndarray, t: np.ndarray) -> list:
     """Divide-and-conquer alignment in O(len(t)) memory."""
+    cells_cap = NATIVE_DP_MAX_CELLS if _native_ready() else FULL_DP_MAX_CELLS
     if (
         len(q) <= FULL_DP_MIN_ROWS
-        or len(q) * len(t) <= FULL_DP_MAX_CELLS
+        or len(q) * len(t) <= cells_cap
         or len(t) == 0
     ):
         return _full_dp_cigar(q, t)
