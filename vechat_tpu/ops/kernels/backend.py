@@ -22,8 +22,8 @@ N_BUCKETS = (128, 256, 512, 640, 1024, 2048)
 W_BUCKETS = (128, 256, 512, 768)
 P_BUCKETS = (4, 8, 16)
 D_CHOICES = (8, 4, 2, 1)
-VMEM_BUDGET = 14 * 1024 * 1024  # bytes for H(int32) + DIR(int8) per window
-DIR_HBM_BUDGET = 1 << 30  # bytes of direction tensor per dispatch
+VMEM_BUDGET = 13 * 1024 * 1024  # combo H scratch + pipelined out chunks
+DIR_HBM_BUDGET = 1 << 30  # bytes of combo tensor per dispatch
 
 
 def _bucket(v: int, buckets) -> Optional[int]:
@@ -34,8 +34,11 @@ def _bucket(v: int, buckets) -> Optional[int]:
 
 
 def _d_cap(n: int, w: int) -> int:
+    # per-window VMEM: H scratch (N+1 combo rows, int32) + 2 pipelined
+    # CH-row output chunks (ops/kernels/poa_pallas.py ROW_CHUNK)
+    rows = (n + 1) + 2 * 64
     for d in D_CHOICES:
-        if (n + 1) * d * w * 5 <= VMEM_BUDGET:
+        if rows * d * w * 4 <= VMEM_BUDGET:
             return d
     return 1
 
@@ -143,7 +146,7 @@ class PallasAlignerBackend:
                     results[i] = self._host_align(items[i][0], graph, mode)
 
         for (mode, nb, pb, wb, dcap), entries in buckets.items():
-            max_b = max(1, DIR_HBM_BUDGET // ((nb + 1) * dcap * wb))
+            max_b = max(1, DIR_HBM_BUDGET // ((nb + 1 + 63) * dcap * wb * 4))
             for off in range(0, len(entries), max_b):
                 self._run_chunk(
                     items, results, entries[off : off + max_b], mode, nb, pb, wb, dcap

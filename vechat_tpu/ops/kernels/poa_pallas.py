@@ -1,28 +1,30 @@
-"""Pallas TPU kernel: batched sequence-to-graph DP + in-kernel traceback.
+"""Pallas TPU kernel: batched sequence-to-graph DP + batched traceback walk.
 
 The performance path of the framework, replacing the reference's SIMD DP
 (vendor/spoa/src/simd_alignment_engine_implementation.hpp) with a TPU-native
-design:
+design. Round-2 architecture (the round-1 kernel kept an in-kernel scalar
+traceback walk that dominated runtime):
 
-* grid = (B,) — one program per window graph; Pallas TPU grid steps run
-  sequentially on the core, parallelism comes from the vector lanes.
-* The DP matrix H lives entirely in VMEM scratch, shaped [N+1, D, W]:
-  lane axis = DP columns, sublane axis = D sequences aligned against the
-  SAME graph at once (the correction loop's realign rounds align every layer
-  of a window against one frozen graph — they batch here at full (8,128)
-  vreg utilisation).
-* The in-row gap recurrence is a log2(W)-step shift-max prefix scan — the
-  same trick as the reference's SIMD engine
-  (simd_alignment_engine_implementation.hpp:109-117,866-875).
-* Traceback directions are computed vectorised during the DP into an int8
-  VMEM scratch with the reference's first-true priority (diagonal per
-  in-edge slot, then vertical per slot, then horizontal —
-  sisd_alignment_engine.cpp:369-459). SW stop cells (H == 0) are encoded as
-  a STOP direction so the walk never touches H.
-* The walk itself runs in-kernel as a scalar while-loop per (window,
-  sequence); single-lane values are extracted with a one-hot reduce over a
-  [1, W] row (Mosaic cannot scalar-index VMEM lanes dynamically), and pairs
-  accumulate in vector-register carries written out once per walk.
+* DP kernel, grid = (B, row_chunks): one window graph per major grid step;
+  node rows stream through VMEM in CH-row chunks so the direction tensor
+  pipelines out to HBM while later rows compute.
+* Each DP cell stores a packed **combo** int32: ``value << SH | code`` where
+  ``code`` encodes the traceback direction with the reference's first-true
+  priority (diagonal per in-edge slot, then vertical per slot, then
+  horizontal, then SW-stop — sisd_alignment_engine.cpp:369-459). A plain
+  `max` over combos therefore picks both the DP value and the
+  highest-priority direction in one op; horizontal moves are detected after
+  the in-row scan by comparing the scanned value against the local maximum.
+* The in-row gap recurrence is the log2(W)-step shift-max prefix scan of the
+  reference's SIMD engine (simd_alignment_engine_implementation.hpp:109-117,
+  866-875).
+* Predecessor slots are tiered: slot 0 always runs; slots [1,2), [2,4),
+  [4,8), [8,16) run under `lax.cond` on the node's true in-degree, so the
+  common 1-in-edge node costs one slot regardless of the bucket's P.
+* Traceback runs OUTSIDE the kernel as one batched XLA walk: all B*D walks
+  advance together through the HBM combo tensor with 3 gathers per step and
+  an early-exit while_loop — O(path) total work instead of the round-1
+  O(path * W) per-sequence one-hot reduce.
 
 Linear gap model only (all the correction path needs: kNW at
 src/polisher.cpp:187-189, kSW at src/window.cpp:326).
@@ -40,204 +42,338 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG = -(2**28)
+NEGV = -(2**28)  # value-domain -inf (scan poison)
+ROW_CHUNK = 64  # H rows per pipelined output chunk
 
 
-def _kernel(
+def _sh_bits(P: int) -> int:
+    """Bits reserved for the direction code: codes span [0, 2P+1]."""
+    return int(np.ceil(np.log2(2 * P + 2)))
+
+
+def _dp_kernel(
     codes_ref,  # [1, 1, N] int32 SMEM: rank-ordered node codes
     preds_ref,  # [1, P, N] int32 SMEM: pred DP-row per slot (in-edge order)
+    deg_ref,  # [1, 1, N] int32 SMEM: true in-degree (distinct pred slots)
     sink_ref,  # [1, 1, N] int32 SMEM (1 = no out-edges)
-    nid_ref,  # [1, 1, N] int32 SMEM: rank -> node id
     nn_ref,  # [1, 1, 1] int32 SMEM: number of nodes
     seqp_ref,  # [1, D, W] int32 VMEM; lane j = code of seq pos j-1
     slen_ref,  # [1, 1, D] int32 VMEM: sequence lengths
     # outputs
-    pairs_node_ref,  # [1, D, L] int32
-    pairs_pos_ref,  # [1, D, L] int32
-    count_ref,  # [1, 1, D] int32
+    combo_ref,  # [1, CH, D, W] int32: this chunk of packed (value, dir) rows
+    maxi_ref,  # [1, 1, D] int32: best cell DP row
+    maxj_ref,  # [1, 1, D] int32: best cell lane
     score_ref,  # [1, 1, D] int32
     # scratch
-    H,  # [N+1, D, W] int32
-    DIR,  # [N+1, D, W] int8
+    H,  # [N+1, D, W] int32 combo rows (full history: preds reach back)
+    BEST,  # [D, W] int32 running per-lane max
+    BESTI,  # [D, W] int32 row of the running max
     *,
     N: int,
     D: int,
     W: int,
     P: int,
-    L: int,
+    NC: int,
+    CH: int,
     align_type: str,
     m: int,
     x: int,
     g: int,
-    dp_only: bool,
 ):
+    SH = _sh_bits(P)
+    MASKC = (1 << SH) - 1
+    HORIZ_CODE = 1
+    STOP_CODE = 0
+    c = pl.program_id(1)
     mi = jnp.int32(m)
     xi = jnp.int32(x)
-    gi = jnp.int32(g)
-    neg = jnp.int32(NEG)
     jlane = lax.broadcasted_iota(jnp.int32, (D, W), 1)
+    jg = jlane * jnp.int32(g)
+    slen = slen_ref[0, 0].reshape(D, 1)
     n_nodes = nn_ref[0, 0, 0]
-    seqp = seqp_ref[0]  # [D, W]
-    slen = slen_ref[0, 0].reshape(D, 1)  # [D, 1]
-    STOP = 2 * P + 1
-
-    # row 0 of H and DIR
-    if align_type == "sw":
-        H[0] = jnp.zeros((D, W), jnp.int32)
-        DIR[0] = jnp.full((D, W), STOP, jnp.int8)  # H==0 everywhere
-    else:
-        H[0] = jlane * gi
-        DIR[0] = jnp.full((D, W), 2 * P, jnp.int8)  # horizontal only
-
+    seqp = seqp_ref[0]
+    negc = jnp.int32(NEGV)
+    lane0 = jlane == 0
     log_w = int(np.ceil(np.log2(W)))
+    scan_masks = [jlane >= (1 << s) for s in range(log_w)]
+    if align_type == "nw":
+        cell_mask = jlane == slen  # AND is_sink per row
+    else:  # sw / ov share the lane mask; ov additionally ANDs is_sink
+        cell_mask = (jlane != 0) & (jlane <= slen)
 
-    # ---- DP over nodes in rank order
-    def dp_step(r, best_state):
-        best, best_i = best_state  # [D, W]
-        code = codes_ref[0, 0, r]
-        prof = jnp.where(seqp == code, mi, xi)  # [D, W]
+    @pl.when(c == 0)
+    def _init():
+        if align_type == "sw":
+            row0 = jnp.zeros((D, W), jnp.int32)  # value 0, code STOP
+        else:
+            row0 = (jg << SH) + HORIZ_CODE
+        H[0] = row0
+        combo_ref[0, 0] = row0
+        BEST[:, :] = jnp.full(
+            (D, W), 0 if align_type == "sw" else NEGV, jnp.int32
+        )
+        BESTI[:, :] = jnp.zeros((D, W), jnp.int32)
 
-        acc = jnp.full((D, W), neg, jnp.int32)
-        c0 = jnp.full((D, 1), neg, jnp.int32)
-        diags = []  # per-slot diagonal candidate values (reused for DIR)
-        verts = []  # per-slot vertical candidate values
-        for p in range(P):
+    def slot_range(acc, prof_c, r, lo, hi):
+        for p in range(lo, hi):
             pr = preds_ref[0, p, r]
-            row = H[pr]  # [D, W]
-            ds = pltpu.roll(row, 1, axis=1)
-            diag = jnp.where(jlane == 0, neg, ds) + prof
-            vert = row + gi
-            diags.append(diag)
-            verts.append(vert)
+            rowv = H[pr] & ~MASKC  # value << SH (strips the dir code)
+            # candidate codes: priority idx -> code = (2P+1) - idx
+            dcode = (2 * P + 1) - p
+            vcode = (2 * P + 1) - (P + p)
+            diag = pltpu.roll(rowv, 1, axis=1) + (prof_c + dcode)
+            diag = jnp.where(lane0, negc, diag)
+            vert = rowv + jnp.int32((g << SH) + vcode)
             acc = jnp.maximum(acc, jnp.maximum(diag, vert))
-            c0 = jnp.maximum(c0, row[:, 0:1] + gi)
+        return acc
+
+    def dp_step(hr):
+        r = hr - 1  # node rank of this DP row
+        code = codes_ref[0, 0, r]
+        deg = deg_ref[0, 0, r]
+        prof_c = jnp.where(seqp == code, mi, xi) << SH
+
+        acc = jnp.full((D, W), negc, jnp.int32)
+        acc = slot_range(acc, prof_c, r, 0, 1)
+        tier_bounds = [t for t in (1, 2, 4, 8) if t < P] + [P]
+        for ti in range(len(tier_bounds) - 1):
+            lo, hi = tier_bounds[ti], tier_bounds[ti + 1]
+            acc = lax.cond(
+                deg > lo,
+                lambda a, lo=lo, hi=hi: slot_range(a, prof_c, r, lo, hi),
+                lambda a: a,
+                acc,
+            )
 
         if align_type != "nw":
-            c0 = jnp.zeros((D, 1), jnp.int32)
+            # first column is 0 (sw/ov); for nw the vertical candidates at
+            # lane 0 already produce max(pred_row[0]) + g
+            acc = jnp.where(lane0, 0, acc)
 
-        val = jnp.where(jlane == 0, c0, acc)
+        local_val = acc >> SH
+        local_code = acc & MASKC
         # in-row gap: run[j] = max_{k<=j} val[k] + (j-k)*g (prefix shift-max)
-        t = val - jlane * gi
-        for sh in range(log_w):
-            s = 1 << sh
-            rolled = pltpu.roll(t, s, axis=1)
-            rolled = jnp.where(jlane < s, neg, rolled)
-            t = jnp.maximum(t, rolled)
-        run = t + jlane * gi
+        t = local_val - jg
+        for si in range(log_w):
+            rolled = pltpu.roll(t, 1 << si, axis=1)
+            t = jnp.maximum(t, jnp.where(scan_masks[si], rolled, negc))
+        run = t + jg
         if align_type == "sw":
             run = jnp.maximum(run, 0)
-        H[r + 1] = run
-
-        # traceback directions, first-true priority (reverse-order writes)
-        d_dir = jnp.full((D, W), 2 * P, jnp.int32)
-        for p in reversed(range(P)):
-            d_dir = jnp.where(run == verts[p], P + p, d_dir)
-        for p in reversed(range(P)):
-            # diag candidate already has lane 0 poisoned to NEG
-            d_dir = jnp.where(run == diags[p], p, d_dir)
+        # horizontal loses every tie (last in reference priority order)
+        dcode = jnp.where(run == local_val, local_code, HORIZ_CODE)
         if align_type == "sw":
-            d_dir = jnp.where(run == 0, STOP, d_dir)
-        DIR[r + 1] = d_dir.astype(jnp.int8)
+            dcode = jnp.where(run == 0, STOP_CODE, dcode)
+        combo = (run << SH) + dcode
+        H[hr] = combo
+        combo_ref[0, hr - c * CH] = combo
 
-        # running max (first maximal cell in scan order)
-        valid_row = r < n_nodes
+        # running max (first maximal cell in (row, lane) scan order)
         if align_type == "sw":
-            cell_ok = (jlane != 0) & (jlane <= slen)
+            ok = cell_mask
+        else:
+            ok = cell_mask & (sink_ref[0, 0, r] != 0)
+        imp = ok & (run > BEST[:, :])
+        BEST[:, :] = jnp.where(imp, run, BEST[:, :])
+        BESTI[:, :] = jnp.where(imp, hr, BESTI[:, :])
+
+    # static trip count (program_id-derived dynamic bounds hang interpret
+    # mode); rows outside [1, n_nodes] are skipped by the predicated branch
+    def dp_body(k, carry):
+        hr = c * CH + k
+
+        @pl.when((hr >= 1) & (hr <= n_nodes))
+        def _():
+            dp_step(hr)
+
+        return carry
+
+    lax.fori_loop(0, CH, dp_body, 0)
+
+    @pl.when(c == NC - 1)
+    def _finalize():
+        best = BEST[:, :]
+        best_i = BESTI[:, :]
+        big = jnp.int32(2**28)
+        score_max = jnp.max(best, axis=1, keepdims=True)  # [D, 1]
+        at_max = best == score_max
+        i_min = jnp.min(jnp.where(at_max, best_i, big), axis=1, keepdims=True)
+        lane_pick = at_max & (best_i == i_min)
+        j_pick = jnp.min(jnp.where(lane_pick, jlane, big), axis=1, keepdims=True)
+        if align_type == "sw":
+            empty = score_max <= 0
+        else:
+            empty = i_min == 0
+        maxi_ref[0, 0] = jnp.where(empty, 0, i_min)[:, 0]
+        maxj_ref[0, 0] = jnp.where(empty, 0, j_pick)[:, 0]
+        score_ref[0, 0] = score_max[:, 0]
+
+
+def _traceback_walk(combos, preds, node_id, maxi, maxj, align_type, L):
+    """All B*D walks advance together; 3 gathers/step; early exit.
+
+    combos: [B, N1P, D, W] int32 packed (value << SH | code) rows
+    preds:  [B, P, N] int32, node_id: [B, 1, N] int32
+    maxi/maxj: [B, 1, D] int32 start cells (0,0 = empty alignment)
+    Returns pn, pp [B, D, L] int32 (pairs back-to-front), count [B, D].
+    """
+    B, N1P, D, W = combos.shape
+    P, N = preds.shape[1], preds.shape[2]
+    SH = _sh_bits(P)
+    MASKC = (1 << SH) - 1
+    STOP_IDX = 2 * P + 1
+    BD = B * D
+    cf = combos.reshape(-1)
+    pf = preds.reshape(-1)
+    nf = node_id.reshape(-1)
+    bidx = jnp.arange(BD, dtype=jnp.int32) // D
+    didx = jnp.arange(BD, dtype=jnp.int32) % D
+    i0 = maxi[:, 0, :].reshape(BD)
+    j0 = maxj[:, 0, :].reshape(BD)
+    started = ~((i0 == 0) & (j0 == 0))
+    if align_type == "ov":
+        active0 = started & (i0 != 0) & (j0 != 0)
+    else:
+        active0 = started
+
+    def cond(st):
+        step, _, _, _, active, _, _ = st
+        return (step < L) & jnp.any(active)
+
+    def body(st):
+        step, i, j, cnt, active, pn, pp = st
+        flat = ((bidx * N1P + i) * D + didx) * W + j
+        cv = jnp.take(cf, flat)
+        idx = STOP_IDX - (cv & MASKC)
+        if align_type == "sw":
+            do = active & (idx != STOP_IDX)
+        else:
+            do = active
+        is_diag = idx < P
+        is_vert = (idx >= P) & (idx < 2 * P)
+        slot = jnp.where(is_diag, idx, jnp.maximum(idx - P, 0))
+        slot = jnp.minimum(slot, P - 1)
+        node = jnp.maximum(i - 1, 0)
+        pred = jnp.take(pf, (bidx * P + slot) * N + node)
+        prev_i = jnp.where(is_diag | is_vert, pred, i)
+        prev_j = jnp.where(is_diag | (~is_vert), j - 1, j)
+        nid = jnp.take(nf, bidx * N + node)
+        pnv = jnp.where(do, jnp.where(prev_i == i, -1, nid), -2)
+        ppv = jnp.where(do, jnp.where(prev_j == j, -1, j - 1), -2)
+        col = L - 1 - step
+        pn = lax.dynamic_update_slice(pn, pnv[:, None], (0, col))
+        pp = lax.dynamic_update_slice(pp, ppv[:, None], (0, col))
+        i = jnp.where(do, prev_i, i)
+        j = jnp.where(do, prev_j, j)
+        cnt = cnt + do.astype(jnp.int32)
+        if align_type == "sw":
+            nactive = do
         elif align_type == "nw":
-            cell_ok = (jlane == slen) & (sink_ref[0, 0, r] != 0)
-        else:  # ov
-            cell_ok = (jlane != 0) & (jlane <= slen) & (sink_ref[0, 0, r] != 0)
-        improve = valid_row & cell_ok & (run > best)
-        best = jnp.where(improve, run, best)
-        best_i = jnp.where(improve, r + 1, best_i)
-        return best, best_i
+            nactive = do & ~((i == 0) & (j == 0))
+        else:
+            nactive = do & ~((i == 0) | (j == 0))
+        return step + 1, i, j, cnt, nactive, pn, pp
 
-    init_best = jnp.full((D, W), 0 if align_type == "sw" else neg, jnp.int32)
-    init_best_i = jnp.zeros((D, W), jnp.int32)
-    # dynamic trip count: stop at the real node count, not the padded bucket
-    best, best_i = lax.fori_loop(0, n_nodes, dp_step, (init_best, init_best_i))
+    pn0 = jnp.full((BD, L), -2, jnp.int32)
+    pp0 = jnp.full((BD, L), -2, jnp.int32)
+    st = (
+        jnp.int32(0),
+        i0,
+        j0,
+        jnp.zeros(BD, jnp.int32),
+        active0,
+        pn0,
+        pp0,
+    )
+    _, _, _, cnt, _, pn, pp = lax.while_loop(cond, body, st)
+    cnt = jnp.where(started, cnt, 0)
+    return (
+        pn.reshape(B, D, L),
+        pp.reshape(B, D, L),
+        cnt.reshape(B, D),
+    )
 
-    # ---- first maximal cell in (row, lane) scan order
-    big = jnp.int32(2**28)
-    score_max = jnp.max(best, axis=1, keepdims=True)  # [D, 1]
-    at_max = best == score_max
-    i_min = jnp.min(jnp.where(at_max, best_i, big), axis=1, keepdims=True)
-    lane_pick = at_max & (best_i == i_min)
-    j_pick = jnp.min(jnp.where(lane_pick, jlane, big), axis=1, keepdims=True)
 
-    if align_type == "sw":
-        empty = score_max <= 0
-    else:
-        empty = i_min == 0
-    max_i = jnp.where(empty, 0, i_min)
-    max_j = jnp.where(empty, 0, j_pick)
-    score_ref[0, 0] = score_max[:, 0]
+def _poa_dp_pallas(
+    codes,  # [B, 1, N] int32
+    preds,  # [B, P, N] int32
+    sink,  # [B, 1, N] int32
+    n_nodes,  # [B, 1, 1] int32
+    seqp,  # [B, D, W] int32
+    seq_len,  # [B, 1, D] int32
+    align_type: str,
+    m: int,
+    x: int,
+    g: int,
+    interpret: bool = False,
+):
+    """Runs the DP kernel; returns (combos [B,N1P,D,W], maxi, maxj, score)."""
+    B, _, N = codes.shape
+    P = preds.shape[1]
+    D, W = seqp.shape[1], seqp.shape[2]
+    CH = min(ROW_CHUNK, N + 1)
+    NC = -(-(N + 1) // CH)
+    N1P = NC * CH
 
-    if dp_only:
-        pairs_node_ref[0] = jnp.full((D, L), -2, jnp.int32)
-        pairs_pos_ref[0] = jnp.full((D, L), -2, jnp.int32)
-        count_ref[0, 0] = jnp.zeros((D,), jnp.int32)
-        return
+    # true in-degree per row: padding repeats slot 0, real slots are distinct
+    deg = (preds[:, 1:, :] != preds[:, :1, :]).sum(
+        axis=1, dtype=jnp.int32
+    )[:, None, :] + 1  # [B, 1, N]
 
-    # ---- traceback walks (one per sequence, python-unrolled: d is static)
-    jl1 = lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    lanesL = lax.broadcasted_iota(jnp.int32, (1, L), 1)
-    counts = []
-    for d in range(D):
-        i0 = max_i[d, 0].astype(jnp.int32)
-        j0 = max_j[d, 0].astype(jnp.int32)
-        started = ~((i0 == 0) & (j0 == 0))
+    kernel = functools.partial(
+        _dp_kernel,
+        N=N,
+        D=D,
+        W=W,
+        P=P,
+        NC=NC,
+        CH=CH,
+        align_type=align_type,
+        m=m,
+        x=x,
+        g=g,
+    )
 
-        def cond(state):
-            return state[3]
+    smem = lambda shape: pl.BlockSpec(
+        shape, lambda b, c: (b,) + (0,) * (len(shape) - 1), memory_space=pltpu.SMEM
+    )
+    vmem = lambda shape: pl.BlockSpec(
+        shape, lambda b, c: (b,) + (0,) * (len(shape) - 1), memory_space=pltpu.VMEM
+    )
 
-        def body(state):
-            i, j, k, ok, pn, pp = state
-            rowd = DIR[i, d].reshape(1, W).astype(jnp.int32)  # static sublane
-            dirv = jnp.sum(jnp.where(jl1 == j, rowd, 0))
-            if align_type == "sw":
-                do = dirv != STOP
-            else:
-                do = jnp.bool_(True)
-
-            is_diag = dirv < P
-            is_vert = (dirv >= P) & (dirv < 2 * P)
-            slot = jnp.where(is_diag, dirv, jnp.maximum(dirv - P, 0))
-            slot = jnp.minimum(slot, P - 1)
-            node = jnp.maximum(i - 1, 0)
-            pred_row = preds_ref[0, slot, node]
-            prev_i = jnp.where(is_diag | is_vert, pred_row, i)
-            prev_j = jnp.where(is_diag | (~is_vert), j - 1, j)
-
-            upd = (lanesL == (L - 1 - k)) & do
-            pn = jnp.where(
-                upd, jnp.where(i == prev_i, -1, nid_ref[0, 0, node]), pn
-            )
-            pp = jnp.where(upd, jnp.where(j == prev_j, -1, j - 1), pp)
-            i = jnp.where(do, prev_i, i)
-            j = jnp.where(do, prev_j, j)
-            k = jnp.where(do, k + 1, k)
-            if align_type == "sw":
-                ok = do
-            elif align_type == "nw":
-                ok = do & (~((i == 0) & (j == 0)))
-            else:
-                ok = do & (~((i == 0) | (j == 0)))
-            return i, j, k, ok, pn, pp
-
-        pn0 = jnp.full((1, L), -2, jnp.int32)
-        pp0 = jnp.full((1, L), -2, jnp.int32)
-        _, _, k_fin, _, pn, pp = lax.while_loop(
-            cond, body, (i0, j0, jnp.int32(0), started, pn0, pp0)
-        )
-        pairs_node_ref[0, pl.ds(d, 1), :] = pn
-        pairs_pos_ref[0, pl.ds(d, 1), :] = pp
-        counts.append(jnp.where(started, k_fin, 0))
-
-    if D > 1:
-        count_ref[0, 0] = jnp.stack(counts)
-    else:
-        count_ref[0, 0] = counts[0].reshape(1)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, NC),
+        in_specs=[
+            smem((1, 1, N)),
+            smem((1, P, N)),
+            smem((1, 1, N)),
+            smem((1, 1, N)),
+            smem((1, 1, 1)),
+            vmem((1, D, W)),
+            vmem((1, 1, D)),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, CH, D, W), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM
+            ),
+            vmem((1, 1, D)),
+            vmem((1, 1, D)),
+            vmem((1, 1, D)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N1P, D, W), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, D), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, D), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, D), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N + 1, D, W), jnp.int32),
+            pltpu.VMEM((D, W), jnp.int32),
+            pltpu.VMEM((D, W), jnp.int32),
+        ],
+        interpret=interpret,
+    )(codes, preds, deg, sink, n_nodes, seqp, seq_len)
 
 
 def _poa_align_pallas_impl(
@@ -258,61 +394,23 @@ def _poa_align_pallas_impl(
     """Returns (pairs_node [B,D,L], pairs_pos [B,D,L], count [B,1,D],
     score [B,1,D])."""
     B, _, N = codes.shape
-    P = preds.shape[1]
     D, W = seqp.shape[1], seqp.shape[2]
     L = N + W
 
-    kernel = functools.partial(
-        _kernel,
-        N=N,
-        D=D,
-        W=W,
-        P=P,
-        L=L,
-        align_type=align_type,
-        m=m,
-        x=x,
-        g=g,
-        dp_only=dp_only,
+    combos, maxi, maxj, score = _poa_dp_pallas(
+        codes, preds, sink, n_nodes, seqp, seq_len,
+        align_type, m, x, g, interpret=interpret,
     )
+    if dp_only:
+        pn = jnp.full((B, D, L), -2, jnp.int32)
+        pp = jnp.full((B, D, L), -2, jnp.int32)
+        count = jnp.zeros((B, 1, D), jnp.int32)
+        return pn, pp, count, score
 
-    smem = lambda shape: pl.BlockSpec(
-        shape, lambda b: (b,) + (0,) * (len(shape) - 1), memory_space=pltpu.SMEM
+    pn, pp, count = _traceback_walk(
+        combos, preds, node_id, maxi, maxj, align_type, L
     )
-    vmem = lambda shape: pl.BlockSpec(
-        shape, lambda b: (b,) + (0,) * (len(shape) - 1), memory_space=pltpu.VMEM
-    )
-
-    return pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[
-            smem((1, 1, N)),
-            smem((1, P, N)),
-            smem((1, 1, N)),
-            smem((1, 1, N)),
-            smem((1, 1, 1)),
-            vmem((1, D, W)),
-            vmem((1, 1, D)),
-        ],
-        out_specs=(
-            vmem((1, D, L)),
-            vmem((1, D, L)),
-            vmem((1, 1, D)),
-            vmem((1, 1, D)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, D, L), jnp.int32),
-            jax.ShapeDtypeStruct((B, D, L), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, D), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, D), jnp.int32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((N + 1, D, W), jnp.int32),
-            pltpu.VMEM((N + 1, D, W), jnp.int8),
-        ],
-        interpret=interpret,
-    )(codes, preds, sink, node_id, n_nodes, seqp, seq_len)
+    return pn, pp, count[:, None, :], score
 
 
 _poa_align_pallas_jit = functools.partial(
