@@ -692,6 +692,77 @@ int poa_align(void* g, const uint8_t* seq, int slen, int type, int m, int x,
                       out_nodes, out_pos, cap);
 }
 
+// Full graph serialization (the cereal role; reference:
+// vendor/spoa/include/spoa/graph.hpp:195-297). Flat arrays only; the
+// in/out-edge slot vectors are ascending in edge index by construction
+// (add_edge appends, prune's remap is monotone), so load() reconstructs
+// them exactly by scanning the edge array in order; ranks come from the
+// deterministic topological sort.
+void poa_save_sizes(void* gv, int* n, int* m, int* nlab, int* nal,
+                    int* nseq) {
+  Graph* g = static_cast<Graph*>(gv);
+  *n = static_cast<int>(g->codes.size());
+  *m = static_cast<int>(g->edges.size());
+  long long labs = 0;
+  for (const auto& e : g->edges) labs += e.labels.size();
+  *nlab = static_cast<int>(labs);
+  long long als = 0;
+  for (const auto& a : g->aligned) als += a.size();
+  *nal = static_cast<int>(als);
+  *nseq = static_cast<int>(g->sequences.size());
+}
+
+void poa_save(void* gv, int* codes, int* tails, int* heads, long long* w,
+              int* lab_off, int* labels, int* al_off, int* al, int* seqs) {
+  Graph* g = static_cast<Graph*>(gv);
+  int n = static_cast<int>(g->codes.size());
+  int m = static_cast<int>(g->edges.size());
+  for (int i = 0; i < n; ++i) codes[i] = g->codes[i];
+  int lk = 0;
+  for (int i = 0; i < m; ++i) {
+    const Edge& e = g->edges[i];
+    tails[i] = e.tail;
+    heads[i] = e.head;
+    w[i] = e.weight;
+    lab_off[i] = lk;
+    for (int l : e.labels) labels[lk++] = l;
+  }
+  lab_off[m] = lk;
+  int ak = 0;
+  for (int i = 0; i < n; ++i) {
+    al_off[i] = ak;
+    for (int a : g->aligned[i]) al[ak++] = a;
+  }
+  al_off[n] = ak;
+  for (size_t i = 0; i < g->sequences.size(); ++i) seqs[i] = g->sequences[i];
+}
+
+void* poa_load(int n, int m, int nseq, const int* codes, const int* tails,
+               const int* heads, const long long* w, const int* lab_off,
+               const int* labels, const int* al_off, const int* al,
+               const int* seqs) {
+  Graph* g = new Graph();
+  for (int i = 0; i < n; ++i) g->add_node(codes[i]);
+  g->edges.reserve(m);
+  for (int i = 0; i < m; ++i) {
+    Edge e;
+    e.tail = tails[i];
+    e.head = heads[i];
+    e.weight = w[i];
+    for (int k = lab_off[i]; k < lab_off[i + 1]; ++k)
+      e.labels.push_back(labels[k]);
+    g->edges.push_back(std::move(e));
+    g->outedges[tails[i]].push_back(i);
+    g->inedges[heads[i]].push_back(i);
+  }
+  for (int i = 0; i < n; ++i)
+    for (int k = al_off[i]; k < al_off[i + 1]; ++k)
+      g->aligned[i].push_back(al[k]);
+  for (int i = 0; i < nseq; ++i) g->sequences.push_back(seqs[i]);
+  if (n > 0) g->topological_sort();
+  return g;
+}
+
 // Pairwise global edit-distance alignment (the edlib role, host fast path).
 // Identical DP and traceback tie-breaks to ops/pairwise.py:_full_dp_cigar
 // (diagonal, then 'D' = consume target, then 'I' = consume query), so the

@@ -24,19 +24,19 @@ def revcomp(s):
 def test_minimizers_basic():
     rng = np.random.default_rng(0)
     s = rand_seq(rng, 300)
-    h, pos, strand = minimizers(s, 15, 5)
+    h, pos, _end, strand = minimizers(s, 15, 5)
     assert len(h) > 0
     assert (np.diff(pos) > 0).all()
     # minimizers are deterministic
-    h2, pos2, _ = minimizers(s, 15, 5)
+    h2, pos2, _, _ = minimizers(s, 15, 5)
     assert (h == h2).all() and (pos == pos2).all()
 
 
 def test_minimizers_strand_canonical():
     rng = np.random.default_rng(1)
     s = rand_seq(rng, 200)
-    h1, _, _ = minimizers(s, 15, 5)
-    h2, _, _ = minimizers(revcomp(s), 15, 5)
+    h1, _, _, _ = minimizers(s, 15, 5)
+    h2, _, _, _ = minimizers(revcomp(s), 15, 5)
     # canonical hashing: same hash multiset on both strands
     assert sorted(h1.tolist()) == sorted(h2.tolist())
 

@@ -99,6 +99,7 @@ def main(argv=None) -> int:
         gap=args.gap,
         backend=make_backend(args.backend, args.match, args.mismatch, args.gap),
         logger=logger,
+        threads=args.threads,
     )
     polisher.initialize(targets, queries, overlaps)
     out = polisher.polish(drop_unpolished_sequences=not args.include_unpolished)

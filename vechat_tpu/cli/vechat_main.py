@@ -39,6 +39,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", default="pb", choices=["pb", "ont"])
     p.add_argument("--split", action="store_true", help="chunk targets")
     p.add_argument("--split-size", type=int, default=1000000)
+    p.add_argument(
+        "--resume-dir",
+        default=None,
+        metavar="DIR",
+        help="with --split: checkpoint each corrected chunk into DIR and "
+        "skip already-completed chunks on restart (the reference's "
+        "chunk-level manual restart, scripts/vechat_hpc.fast.sh:62, "
+        "made automatic)",
+    )
     p.add_argument("--scrub", action="store_true", help="scrub chimeric reads")
     p.add_argument("-u", "--include-unpolished", action="store_true")
     p.add_argument("--linear", action="store_true", help="linear correction only")
@@ -53,6 +62,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-m", "--match", type=int, default=3)
     p.add_argument("-x", "--mismatch", type=int, default=-5)
     p.add_argument("-g", "--gap", type=int, default=-4)
+    p.add_argument(
+        "--base",
+        action="store_true",
+        help="round 1 uses base-level overlaps filtered by --min-identity "
+        "(reference: scripts/vechat:246-248, minimap2 -cx + identity>=0.8)",
+    )
+    p.add_argument(
+        "--min-identity",
+        type=float,
+        default=0.8,
+        help="min overlap identity for --base round-1 overlaps "
+        "(reference: scripts/vechat:41-45)",
+    )
     p.add_argument(
         "--overlaps",
         default=None,
@@ -102,6 +124,16 @@ def run_round(
             # minimap2 | awk '$11>=500' | fpa drop (scripts/vechat:37-39)
             overlaps = filter_length_identity(overlaps, min_block=500)
             overlaps = filter_fpa(overlaps)
+            if args.base:
+                # base-level round 1: minimap2 -cx + identity >= min_identity
+                # (scripts/vechat:41-45,246-248)
+                from .racon_main import make_backend as _mb
+
+                be = _mb(args.backend, args.match, args.mismatch, args.gap)
+                overlaps = refine_identity(overlaps, reads, be)
+                overlaps = filter_length_identity(
+                    overlaps, min_block=500, min_identity=args.min_identity
+                )
         else:
             # >=1000bp, >=0.99 identity consensus round (scripts/vechat:47-49):
             # base-level identity like minimap2 -c, via exact re-alignment
@@ -139,6 +171,7 @@ def run_round(
         gap=args.gap,
         backend=make_backend(args.backend, args.match, args.mismatch, args.gap),
         logger=logger,
+        threads=args.threads,
     )
     polisher.initialize(reads, reads, overlaps)
     return polisher.polish(drop_unpolished_sequences=not args.include_unpolished)
@@ -150,6 +183,7 @@ def run_round_split(
     args,
     logger: Logger,
     overlaps_path: Optional[str] = None,
+    orig_fastq: bool = False,
 ) -> List[SeqRecord]:
     """Chunked targets: correct a chunk at a time against the full query set,
     concatenate chunk outputs in order (reference: scripts/vechat:300-361,
@@ -158,22 +192,45 @@ def run_round_split(
     fmt_lines = 4 if any(r.quality is not None for r in reads) else 2
     split_size = args.split_size
     if iteration > 1:
-        # round >1 inputs are FASTA; reference halves the fq split size
-        # (scripts/vechat:319-320)
+        # round >1 inputs are FASTA (2 lines/record); the reference halves the
+        # split line count when the ORIGINAL input was fastq so the number of
+        # reads per chunk stays constant across rounds (scripts/vechat:319-320)
+        split_size = args.split_size // 2 if orig_fastq else args.split_size
         fmt_lines = 2
-        split_size = args.split_size if fmt_lines == 2 else args.split_size // 2
     reads_per_chunk = max(1, split_size // fmt_lines)
+
+    resume_dir = getattr(args, "resume_dir", None)
+    if resume_dir:
+        os.makedirs(resume_dir, exist_ok=True)
 
     out: List[SeqRecord] = []
     for off in range(0, len(reads), reads_per_chunk):
         chunk = reads[off : off + reads_per_chunk]
+        ck = off // reads_per_chunk + 1
+        ck_path = (
+            os.path.join(resume_dir, f"round{iteration}.chunk{ck:05d}.rec")
+            if resume_dir
+            else None
+        )
+        if ck_path and os.path.exists(ck_path):
+            from ..parallel.dist import read_records_blob
+
+            logger.log(
+                f"round {iteration}: chunk {ck} resumed from checkpoint"
+            )
+            out.extend(read_records_blob(ck_path))
+            continue
         logger.log(
-            f"round {iteration}: chunk {off // reads_per_chunk + 1} "
-            f"({len(chunk)} targets)"
+            f"round {iteration}: chunk {ck} ({len(chunk)} targets)"
         )
-        out.extend(
-            run_round_targets(chunk, reads, iteration, args, logger, overlaps_path)
+        corrected = run_round_targets(
+            chunk, reads, iteration, args, logger, overlaps_path
         )
+        if ck_path:
+            from ..parallel.dist import write_records_blob
+
+            write_records_blob(corrected, ck_path)
+        out.extend(corrected)
     return out
 
 
@@ -199,6 +256,14 @@ def run_round_targets(
         if iteration == 1:
             overlaps = filter_length_identity(overlaps, min_block=500)
             overlaps = filter_fpa(overlaps)
+            if args.base:
+                from .racon_main import make_backend as _mb
+
+                be = _mb(args.backend, args.match, args.mismatch, args.gap)
+                overlaps = refine_identity(overlaps, list(pool.values()), be)
+                overlaps = filter_length_identity(
+                    overlaps, min_block=500, min_identity=args.min_identity
+                )
         else:
             overlaps = filter_length_identity(
                 overlaps, min_block=args.min_ovlplen_cns
@@ -234,6 +299,7 @@ def run_round_targets(
         gap=args.gap,
         backend=make_backend(args.backend, args.match, args.mismatch, args.gap),
         logger=logger,
+        threads=args.threads,
     )
     polisher.initialize(targets, queries, overlaps)
     return polisher.polish(drop_unpolished_sequences=not args.include_unpolished)
@@ -269,10 +335,39 @@ def main(argv=None) -> int:
     else:
         rounds = [1, 2]
     iterations = len(rounds)
+    orig_fastq = any(r.quality is not None for r in reads)
+
+    # multi-host sharding (reference: scripts/vechat_hpc.fast.sh:28-60):
+    # JAX_NUM_PROCESSES/JAX_PROCESS_ID shard the TARGET reads per round; the
+    # corrected set is re-merged in rank order between rounds so round 2 sees
+    # the full round-1 output, exactly like the reference's cat merge
+    from ..parallel.dist import (
+        ProcessGroup,
+        exchange_records,
+        finish_exchange,
+        shard_targets,
+    )
+
+    group = ProcessGroup.from_env()
+    if group.num_processes > 1 and os.environ.get("VECHAT_DIST_INIT") == "1":
+        group.initialize_jax()
+
     for idx, i in enumerate(rounds, start=1):
         overlaps_path = args.overlaps if idx == 1 else None
-        if args.split:
-            reads = run_round_split(reads, i, args, logger, overlaps_path)
+        if group.num_processes > 1:
+            my_targets = shard_targets(reads, group)
+            logger.log(
+                f"round {i}: process {group.process_id}/{group.num_processes} "
+                f"owns {len(my_targets)} targets"
+            )
+            mine = run_round_targets(
+                my_targets, reads, i, args, logger, overlaps_path
+            )
+            reads = exchange_records(mine, group, f"{args.outfile}.r{idx}")
+        elif args.split:
+            reads = run_round_split(
+                reads, i, args, logger, overlaps_path, orig_fastq=orig_fastq
+            )
         else:
             reads = run_round(reads, i, args, logger, overlaps_path)
         # the reference round-trips through FASTA files between rounds, which
@@ -286,7 +381,15 @@ def main(argv=None) -> int:
 
     if args.min_corrected_length > 0:
         reads = [r for r in reads if len(r.data) >= args.min_corrected_length]
-    write_fasta(reads, args.outfile)
+    if group.num_processes > 1:
+        # every process holds the merged set; rank 0 writes, then cleans up
+        # the exchange files once all ranks have checked out
+        if group.process_id == 0:
+            write_fasta(reads, args.outfile)
+        for idx in range(1, iterations + 1):
+            finish_exchange(group, f"{args.outfile}.r{idx}")
+    else:
+        write_fasta(reads, args.outfile)
     if profiler_ctx:
         import jax
 

@@ -21,9 +21,14 @@ from .poa_jax import graph_to_dense
 N_BUCKETS = (128, 256, 512, 640, 1024, 2048)
 W_BUCKETS = (128, 256, 512, 768)
 P_BUCKETS = (4, 8, 16)
-D_CHOICES = (8, 4, 2, 1)
-VMEM_BUDGET = 13 * 1024 * 1024  # combo H scratch + pipelined out chunks
-DIR_HBM_BUDGET = 1 << 30  # bytes of combo tensor per dispatch
+# H-ring sizes: POA graphs from overlapping reads keep predecessor
+# rank-distance small, so a short ring usually holds and frees VMEM for a
+# deeper D (poa_pallas.py module docstring). Max ring 511: the predecessor
+# delta must fit the kernel's 9-bit field (poa_pallas.DELTA_BITS)
+R_BUCKETS = (64, 128, 256, 511)
+D_CHOICES = (32, 16, 8, 4, 2, 1)
+VMEM_BUDGET = 13 * 1024 * 1024
+DIR_HBM_BUDGET = 1 << 30  # bytes of direction tensor per dispatch
 
 
 def _bucket(v: int, buckets) -> Optional[int]:
@@ -33,12 +38,12 @@ def _bucket(v: int, buckets) -> Optional[int]:
     return None
 
 
-def _d_cap(n: int, w: int) -> int:
-    # per-window VMEM: H scratch (N+1 combo rows, int32) + 2 pipelined
-    # CH-row output chunks (ops/kernels/poa_pallas.py ROW_CHUNK)
-    rows = (n + 1) + 2 * 64
+def _d_cap(ring_rows: int, w: int) -> int:
+    # per-window VMEM bytes/(D*W): H int16 ring (2*(R+1)) + PROF table (64)
+    # + BESTC (4) + 2 pipelined int16 out chunks (2*2*ROW_CHUNK) + seqp (4)
+    per_dw = 2 * ring_rows + 16 * 4 + 4 + 2 * 2 * 64 + 4
     for d in D_CHOICES:
-        if rows * d * w * 4 <= VMEM_BUDGET:
+        if per_dw * d * w <= VMEM_BUDGET:
             return d
     return 1
 
@@ -58,6 +63,35 @@ class PallasAlignerBackend:
         self.cell_updates = 0
         self._dense_cache: Dict[Tuple[int, int, int], Optional[dict]] = {}
         self._pairwise = None
+        # multi-chip: shard window batches across the local mesh
+        # (reference analog: per-GPU batches, src/cuda/cudapolisher.cpp:166-181)
+        import jax
+
+        self._n_dev = len(jax.devices())
+        self._mesh = None
+        self._sharded_fns: Dict[Tuple, object] = {}
+
+    def _sharded_fn(self, mode: str, ring: int = 0):
+        key = (mode, *self._scores(mode), self.interpret, ring)
+        fn = self._sharded_fns.get(key)
+        if fn is None:
+            from ...parallel.mesh import make_mesh, sharded_poa_align_pallas
+
+            if self._mesh is None:
+                self._mesh = make_mesh()
+            m, x, g = self._scores(mode)
+            fn = sharded_poa_align_pallas(
+                self._mesh,
+                mode,
+                m,
+                x,
+                g,
+                interpret=self.interpret,
+                ring=ring,
+                emit_node_ids=False,
+            )
+            self._sharded_fns[key] = fn
+        return fn
 
     def edit_align_batch(self, pairs):
         """Overlap alignment on device (anchor-tiled NW kernel); the Polisher
@@ -133,11 +167,33 @@ class PallasAlignerBackend:
             wb = _bucket(max_sl + 1, W_BUCKETS)
             ok = nb is not None and pb is not None and wb is not None
             if ok:
-                dcap = _d_cap(nb, wb)
+                # kernel stores DP values as int16 (the reference's precision
+                # selection, simd_alignment_engine_implementation.hpp:684-725);
+                # out-of-range score configs go to the host oracle
+                from .poa_pallas import fits_int16
+
+                ok = fits_int16(nb, wb, *self._scores(mode))
+            d = self._dense(graph, nb, pb) if ok else None
+            rb = None
+            if d is not None:
+                # H-ring size: smallest bucket covering this graph's max
+                # predecessor rank-distance. 0 = full history, only valid
+                # when every delta fits the 9-bit field (nb <= max bucket);
+                # graphs with larger reach go to the host oracle
+                from .poa_pallas import max_pred_distance
+
+                dist = max_pred_distance(d["preds"], d["n_nodes"])
+                rb = next((r for r in R_BUCKETS if dist <= r < nb), None)
+                if rb is None and nb <= R_BUCKETS[-1]:
+                    rb = 0
+                if rb is None and dist <= R_BUCKETS[-1]:
+                    rb = R_BUCKETS[-1]
+            if rb is not None:
+                dcap = _d_cap((rb if rb else nb) + 1, wb)
                 # split this graph's items into D-sized chunks
                 for off in range(0, len(idxs), dcap):
                     chunk = idxs[off : off + dcap]
-                    buckets.setdefault((mode, nb, pb, wb, dcap), []).append(
+                    buckets.setdefault((mode, nb, pb, wb, dcap, rb), []).append(
                         (graph, chunk)
                     )
             else:
@@ -145,30 +201,37 @@ class PallasAlignerBackend:
                     self.fallbacks += 1
                     results[i] = self._host_align(items[i][0], graph, mode)
 
-        for (mode, nb, pb, wb, dcap), entries in buckets.items():
-            max_b = max(1, DIR_HBM_BUDGET // ((nb + 1 + 63) * dcap * wb * 4))
+        for (mode, nb, pb, wb, dcap, rb), entries in buckets.items():
+            max_b = max(1, DIR_HBM_BUDGET // ((nb + 1 + 63) * dcap * wb * 2))
             for off in range(0, len(entries), max_b):
                 self._run_chunk(
-                    items, results, entries[off : off + max_b], mode, nb, pb, wb, dcap
+                    items,
+                    results,
+                    entries[off : off + max_b],
+                    mode,
+                    nb,
+                    pb,
+                    wb,
+                    dcap,
+                    rb,
                 )
 
         return results  # type: ignore
 
-    def _run_chunk(self, items, results, entries, mode, nb, pb, wb, dcap):
+    def _run_chunk(self, items, results, entries, mode, nb, pb, wb, dcap, rb=0):
         from .poa_pallas import poa_align_pallas
 
         B = len(entries)
-        # pad B to a small set of sizes to bound compilation
-        B_pad = 1
-        while B_pad < B:
-            B_pad *= 2
-        B_pad = min(B_pad, max(B, 1))
+        # pad B to a small set of sizes to bound compilation; multi-chip
+        # batches must also divide by the mesh size (shard_map requirement)
         for cand in (1, 2, 4, 8, 16, 32, 64, 128, 256):
             if cand >= B:
                 B_pad = cand
                 break
         else:
             B_pad = B
+        if self._n_dev > 1:
+            B_pad = -(-B_pad // self._n_dev) * self._n_dev
 
         codes = np.zeros((B_pad, 1, nb), np.int32)
         preds = np.zeros((B_pad, pb, nb), np.int32)
@@ -202,7 +265,7 @@ class PallasAlignerBackend:
         if not packed:
             return
         m, x, g = self._scores(mode)
-        pn, pp, count, _ = poa_align_pallas(
+        args = (
             jnp.asarray(codes),
             jnp.asarray(preds),
             jnp.asarray(sink),
@@ -210,22 +273,32 @@ class PallasAlignerBackend:
             jnp.asarray(nn),
             jnp.asarray(seqp),
             jnp.asarray(slen),
-            align_type=mode,
-            m=m,
-            x=x,
-            g=g,
-            interpret=self.interpret,
         )
+        if self._n_dev > 1:
+            pn, pp, count, _ = self._sharded_fn(mode, rb)(*args)
+        else:
+            pn, pp, count, _ = poa_align_pallas(
+                *args,
+                align_type=mode,
+                m=m,
+                x=x,
+                g=g,
+                interpret=self.interpret,
+                ring=rb,
+                emit_node_ids=False,
+            )
         pn = np.asarray(pn)
         pp = np.asarray(pp)
         count = np.asarray(count)
         L = pn.shape[2]
+        from .poa_pallas import ranks_to_node_ids_np
+
         for b, idxs in packed:
+            nid_b = nid[b, 0]
             for di, i in enumerate(idxs):
                 c = int(count[b, 0, di])
-                aln = list(
-                    zip(pn[b, di, L - c :].tolist(), pp[b, di, L - c :].tolist())
-                )
+                seg = ranks_to_node_ids_np(pn[b, di, L - c :], nid_b)
+                aln = list(zip(seg.tolist(), pp[b, di, L - c :].tolist()))
                 results[i] = aln
                 self.device_alignments += 1
                 self.cell_updates += int(nn[b, 0, 0]) * int(slen[b, 0, di])

@@ -2,29 +2,55 @@
 
 The performance path of the framework, replacing the reference's SIMD DP
 (vendor/spoa/src/simd_alignment_engine_implementation.hpp) with a TPU-native
-design. Round-2 architecture (the round-1 kernel kept an in-kernel scalar
-traceback walk that dominated runtime):
+design:
 
 * DP kernel, grid = (B, row_chunks): one window graph per major grid step;
   node rows stream through VMEM in CH-row chunks so the direction tensor
   pipelines out to HBM while later rows compute.
-* Each DP cell stores a packed **combo** int32: ``value << SH | code`` where
-  ``code`` encodes the traceback direction with the reference's first-true
-  priority (diagonal per in-edge slot, then vertical per slot, then
-  horizontal, then SW-stop — sisd_alignment_engine.cpp:369-459). A plain
-  `max` over combos therefore picks both the DP value and the
-  highest-priority direction in one op; horizontal moves are detected after
-  the in-row scan by comparing the scanned value against the local maximum.
+* Candidate resolution uses packed **combos**: ``value << SH | prio << 9 |
+  delta`` where ``prio`` encodes the traceback direction with the
+  reference's first-true priority (diagonal per in-edge slot, then vertical
+  per slot, then horizontal, then SW-stop — sisd_alignment_engine.cpp:
+  369-459) and ``delta`` is the predecessor **row distance** (0 = the row-0
+  boundary). A plain `max` over combos picks value, direction, and
+  predecessor row in one op; horizontal moves are detected after the in-row
+  scan by comparing the scanned value against the local maximum. Embedding
+  delta makes the traceback walk self-contained: ONE gather per step
+  (XLA TPU gathers cost ~6 ns/index regardless of table size, so dropping
+  the preds/node-id gathers cut the walk cost ~2.5x on v5e).
+* The DP history H is stored as **int16 values** (the recurrence only needs
+  predecessor values; directions stream to HBM) — half the VMEM of int32,
+  which doubles the sequence-batch depth D per window. The kernel is
+  latency-bound on the serial in-row scan chain, so deeper D is nearly free:
+  measured 13.9 -> 35 Gcell/s going D=8 -> D=32 on v5e. This is the TPU
+  analog of the reference's int16 SIMD lane-density selection
+  (simd_alignment_engine_implementation.hpp:684-725); callers must guarantee
+  the worst-case |score| fits int16 (see `fits_int16`) and route outliers to
+  the host/XLA paths.
+* H rows live in a **ring buffer** of `ring` rows plus one pinned slot for
+  the constant row-0 boundary (start nodes at any rank read row 0). POA
+  graphs from overlapping reads have small max predecessor rank-distance
+  (aligned-bundle locality), so `ring` << N holds for real windows — the
+  host verifies `max(rank+1 - pred_row)` per graph and falls back to
+  `ring=N` when violated. This frees most of the VMEM the full history
+  used, buying 2-4x deeper D at the same budget.
 * The in-row gap recurrence is the log2(W)-step shift-max prefix scan of the
   reference's SIMD engine (simd_alignment_engine_implementation.hpp:109-117,
   866-875).
+* Match/mismatch profiles for the whole 16-letter alphabet are precomputed
+  per window into a VMEM table; each row does one dynamic load instead of a
+  compare+select.
 * Predecessor slots are tiered: slot 0 always runs; slots [1,2), [2,4),
   [4,8), [8,16) run under `lax.cond` on the node's true in-degree, so the
   common 1-in-edge node costs one slot regardless of the bucket's P.
+* Direction (prio, delta) codes stream out as int16.
+* Best-cell tracking packs (value, row) into one int32 so the running
+  "max score, then min row" reduction is a single `max`.
 * Traceback runs OUTSIDE the kernel as one batched XLA walk: all B*D walks
-  advance together through the HBM combo tensor with 3 gathers per step and
-  an early-exit while_loop — O(path) total work instead of the round-1
-  O(path * W) per-sequence one-hot reduce.
+  advance together through the HBM direction tensor with ONE gather per
+  step and an early-exit while_loop, emitting (rank, pos) pairs; rank ->
+  node-id decode happens on host (or via an optional in-jit gather for the
+  small-shape test path).
 
 Linear gap model only (all the correction path needs: kNW at
 src/polisher.cpp:187-189, kSW at src/window.cpp:326).
@@ -42,13 +68,38 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEGV = -(2**28)  # value-domain -inf (scan poison)
+NEGV = -(2**30)  # combo-domain -inf (decodes below any fits_int16 value)
+NEG16 = -16000  # value-domain -inf for int16-stored H rows
 ROW_CHUNK = 64  # H rows per pipelined output chunk
+TIE = 4096  # row-tie field width in the packed best-cell combo
+NCODES = 16  # fixed alphabet size (ops/encode.py)
+DELTA_BITS = 9  # predecessor row-distance field; ring must stay < 2**9
+
+
+def fits_int16(n_cap: int, w_cap: int, m: int, x: int, g: int) -> bool:
+    """Worst-case |score| bound for the int16 H rows, mirroring the
+    reference's precision selection (simd_alignment_engine_implementation
+    .hpp:684-725). Leaves headroom above NEG16 for poison arithmetic."""
+    worst = (n_cap + w_cap + 2) * max(abs(m), abs(x), abs(g))
+    return worst <= 14000 and n_cap + 1 < TIE
+
+
+def max_pred_distance(preds_np: np.ndarray, n_nodes: int) -> int:
+    """Max (DP row - predecessor row) over real predecessor slots of a dense
+    graph (preds_np [N, P], values = DP rows, 0 = row-0 boundary). Row-0
+    preds are excluded: the kernel pins row 0 in a dedicated ring slot."""
+    n = int(n_nodes)
+    if n <= 0:
+        return 0
+    pr = preds_np[:n].astype(np.int64)
+    rows = np.arange(1, n + 1, dtype=np.int64)[:, None]
+    return int(np.where(pr > 0, rows - pr, 0).max(initial=0))
 
 
 def _sh_bits(P: int) -> int:
-    """Bits reserved for the direction code: codes span [0, 2P+1]."""
-    return int(np.ceil(np.log2(2 * P + 2)))
+    """Bits below the value field: priority code (codes span [0, 2P+1])
+    plus the DELTA_BITS predecessor-distance field."""
+    return int(np.ceil(np.log2(2 * P + 2))) + DELTA_BITS
 
 
 def _dp_kernel(
@@ -60,14 +111,14 @@ def _dp_kernel(
     seqp_ref,  # [1, D, W] int32 VMEM; lane j = code of seq pos j-1
     slen_ref,  # [1, 1, D] int32 VMEM: sequence lengths
     # outputs
-    combo_ref,  # [1, CH, D, W] int32: this chunk of packed (value, dir) rows
+    dirs_ref,  # [1, CH, D, W] int16: this chunk of (prio<<9|delta) rows
     maxi_ref,  # [1, 1, D] int32: best cell DP row
     maxj_ref,  # [1, 1, D] int32: best cell lane
     score_ref,  # [1, 1, D] int32
     # scratch
-    H,  # [N+1, D, W] int32 combo rows (full history: preds reach back)
-    BEST,  # [D, W] int32 running per-lane max
-    BESTI,  # [D, W] int32 row of the running max
+    H,  # [R+1, D, W] int16 DP value ring; slot R pins the row-0 boundary
+    PROF,  # [NCODES, D, W] int32: (match/mismatch << SH) per alphabet code
+    BESTC,  # [D, W] int32 packed (value * TIE + (TIE-1 - row))
     *,
     N: int,
     D: int,
@@ -75,6 +126,7 @@ def _dp_kernel(
     P: int,
     NC: int,
     CH: int,
+    R: int,
     align_type: str,
     m: int,
     x: int,
@@ -82,16 +134,13 @@ def _dp_kernel(
 ):
     SH = _sh_bits(P)
     MASKC = (1 << SH) - 1
-    HORIZ_CODE = 1
+    HORIZ_CODE = 1 << DELTA_BITS  # prio 1, delta 0
     STOP_CODE = 0
     c = pl.program_id(1)
-    mi = jnp.int32(m)
-    xi = jnp.int32(x)
     jlane = lax.broadcasted_iota(jnp.int32, (D, W), 1)
     jg = jlane * jnp.int32(g)
     slen = slen_ref[0, 0].reshape(D, 1)
     n_nodes = nn_ref[0, 0, 0]
-    seqp = seqp_ref[0]
     negc = jnp.int32(NEGV)
     lane0 = jlane == 0
     log_w = int(np.ceil(np.log2(W)))
@@ -103,35 +152,45 @@ def _dp_kernel(
 
     @pl.when(c == 0)
     def _init():
+        # slot R pins the constant row-0 boundary: start nodes at any rank
+        # read DP row 0, which a pure ring would have recycled
         if align_type == "sw":
-            row0 = jnp.zeros((D, W), jnp.int32)  # value 0, code STOP
+            H[R] = jnp.zeros((D, W), jnp.int16)
+            dirs_ref[0, 0] = jnp.full((D, W), STOP_CODE, jnp.int16)
+            BESTC[:, :] = jnp.zeros((D, W), jnp.int32)  # score 0, row 0
         else:
-            row0 = (jg << SH) + HORIZ_CODE
-        H[0] = row0
-        combo_ref[0, 0] = row0
-        BEST[:, :] = jnp.full(
-            (D, W), 0 if align_type == "sw" else NEGV, jnp.int32
-        )
-        BESTI[:, :] = jnp.zeros((D, W), jnp.int32)
+            H[R] = jg.astype(jnp.int16)
+            dirs_ref[0, 0] = jnp.full((D, W), HORIZ_CODE, jnp.int16)
+            # score NEG16, row 0 (row 0 decodes as "never updated" = empty)
+            BESTC[:, :] = jnp.full(
+                (D, W), NEG16 * TIE + (TIE - 1), jnp.int32
+            )
+        seqp = seqp_ref[0]
+        for code in range(NCODES):
+            PROF[code] = (
+                jnp.where(seqp == code, jnp.int32(m), jnp.int32(x)) << SH
+            )
 
     def slot_range(acc, prof_c, r, lo, hi):
         for p in range(lo, hi):
             pr = preds_ref[0, p, r]
-            rowv = H[pr] & ~MASKC  # value << SH (strips the dir code)
-            # candidate codes: priority idx -> code = (2P+1) - idx
-            dcode = (2 * P + 1) - p
-            vcode = (2 * P + 1) - (P + p)
-            diag = pltpu.roll(rowv, 1, axis=1) + (prof_c + dcode)
+            slot = jnp.where(pr == 0, R, lax.rem(pr - 1, R))
+            # delta 0 = "to the row-0 boundary"; real deltas are >= 1
+            delta = jnp.where(pr == 0, 0, (r + 1) - pr)
+            rowv = H[slot].astype(jnp.int32) << SH
+            # candidate codes: priority idx -> prio = (2P+1) - idx
+            dpack = ((2 * P + 1 - p) << DELTA_BITS) + delta
+            vpack = ((P + 1 - p) << DELTA_BITS) + delta
+            diag = pltpu.roll(rowv, 1, axis=1) + (prof_c + dpack)
             diag = jnp.where(lane0, negc, diag)
-            vert = rowv + jnp.int32((g << SH) + vcode)
+            vert = rowv + (jnp.int32(g << SH) + vpack)
             acc = jnp.maximum(acc, jnp.maximum(diag, vert))
         return acc
 
     def dp_step(hr):
         r = hr - 1  # node rank of this DP row
-        code = codes_ref[0, 0, r]
         deg = deg_ref[0, 0, r]
-        prof_c = jnp.where(seqp == code, mi, xi) << SH
+        prof_c = PROF[codes_ref[0, 0, r]]
 
         acc = jnp.full((D, W), negc, jnp.int32)
         acc = slot_range(acc, prof_c, r, 0, 1)
@@ -164,18 +223,24 @@ def _dp_kernel(
         dcode = jnp.where(run == local_val, local_code, HORIZ_CODE)
         if align_type == "sw":
             dcode = jnp.where(run == 0, STOP_CODE, dcode)
-        combo = (run << SH) + dcode
-        H[hr] = combo
-        combo_ref[0, hr - c * CH] = combo
+        H[lax.rem(hr - 1, R)] = run.astype(jnp.int16)
+        dirs_ref[0, hr - c * CH] = dcode.astype(jnp.int16)
 
-        # running max (first maximal cell in (row, lane) scan order)
+        # running best cell: pack (value, row) so one max keeps the highest
+        # score and, on ties, the smallest row (first in scan order)
+        def best_update():
+            cand = run * TIE + (jnp.int32(TIE - 1) - hr)
+            BESTC[:, :] = jnp.maximum(
+                BESTC[:, :], jnp.where(cell_mask, cand, jnp.int32(-(2**30)))
+            )
+
         if align_type == "sw":
-            ok = cell_mask
+            best_update()
         else:
-            ok = cell_mask & (sink_ref[0, 0, r] != 0)
-        imp = ok & (run > BEST[:, :])
-        BEST[:, :] = jnp.where(imp, run, BEST[:, :])
-        BESTI[:, :] = jnp.where(imp, hr, BESTI[:, :])
+            # nw/ov best cells live on sink rows only; skip the rest
+            @pl.when(sink_ref[0, 0, r] != 0)
+            def _():
+                best_update()
 
     # static trip count (program_id-derived dynamic bounds hang interpret
     # mode); rows outside [1, n_nodes] are skipped by the predicated branch
@@ -192,40 +257,40 @@ def _dp_kernel(
 
     @pl.when(c == NC - 1)
     def _finalize():
-        best = BEST[:, :]
-        best_i = BESTI[:, :]
-        big = jnp.int32(2**28)
-        score_max = jnp.max(best, axis=1, keepdims=True)  # [D, 1]
-        at_max = best == score_max
-        i_min = jnp.min(jnp.where(at_max, best_i, big), axis=1, keepdims=True)
-        lane_pick = at_max & (best_i == i_min)
-        j_pick = jnp.min(jnp.where(lane_pick, jlane, big), axis=1, keepdims=True)
+        bc = BESTC[:, :]
+        big = jnp.int32(2**30)
+        best_combo = jnp.max(bc, axis=1, keepdims=True)  # [D, 1]
+        # arithmetic shift = floor division: exact since 0 <= tie < TIE
+        score_max = best_combo >> 12
+        tie = best_combo & jnp.int32(TIE - 1)
+        i_pick = jnp.int32(TIE - 1) - tie
+        lane_hit = bc == best_combo
+        j_pick = jnp.min(
+            jnp.where(lane_hit, jlane, big), axis=1, keepdims=True
+        )
         if align_type == "sw":
             empty = score_max <= 0
         else:
-            empty = i_min == 0
-        maxi_ref[0, 0] = jnp.where(empty, 0, i_min)[:, 0]
+            empty = i_pick == 0
+        maxi_ref[0, 0] = jnp.where(empty, 0, i_pick)[:, 0]
         maxj_ref[0, 0] = jnp.where(empty, 0, j_pick)[:, 0]
         score_ref[0, 0] = score_max[:, 0]
 
 
-def _traceback_walk(combos, preds, node_id, maxi, maxj, align_type, L):
-    """All B*D walks advance together; 3 gathers/step; early exit.
+def _traceback_walk(dirs, maxi, maxj, align_type, L, P):
+    """All B*D walks advance together; ONE gather per step; early exit.
 
-    combos: [B, N1P, D, W] int32 packed (value << SH | code) rows
-    preds:  [B, P, N] int32, node_id: [B, 1, N] int32
+    dirs:  [B, N1P, D, W] int16 (prio << DELTA_BITS | delta) rows
     maxi/maxj: [B, 1, D] int32 start cells (0,0 = empty alignment)
     Returns pn, pp [B, D, L] int32 (pairs back-to-front), count [B, D].
+    pn holds DP *rank* (row-1), not node id — decode rank -> node id with
+    `node_id` afterwards (host numpy, or _ranks_to_node_ids in-jit).
     """
-    B, N1P, D, W = combos.shape
-    P, N = preds.shape[1], preds.shape[2]
-    SH = _sh_bits(P)
-    MASKC = (1 << SH) - 1
+    B, N1P, D, W = dirs.shape
     STOP_IDX = 2 * P + 1
+    DMASK = (1 << DELTA_BITS) - 1
     BD = B * D
-    cf = combos.reshape(-1)
-    pf = preds.reshape(-1)
-    nf = node_id.reshape(-1)
+    cf = dirs.reshape(-1)
     bidx = jnp.arange(BD, dtype=jnp.int32) // D
     didx = jnp.arange(BD, dtype=jnp.int32) % D
     i0 = maxi[:, 0, :].reshape(BD)
@@ -240,27 +305,29 @@ def _traceback_walk(combos, preds, node_id, maxi, maxj, align_type, L):
         step, _, _, _, active, _, _ = st
         return (step < L) & jnp.any(active)
 
-    def body(st):
-        step, i, j, cnt, active, pn, pp = st
+    UNROLL = 8  # steps per while iteration: amortizes loop overhead
+    # pad the pair buffers so an unrolled tail never writes below column 0
+    # (the last batch can run to step L+UNROLL-2 with all lanes inactive)
+    LP = L + UNROLL
+
+    def one_step(step, i, j, cnt, active, pn, pp):
         flat = ((bidx * N1P + i) * D + didx) * W + j
-        cv = jnp.take(cf, flat)
-        idx = STOP_IDX - (cv & MASKC)
+        code = jnp.take(cf, flat).astype(jnp.int32)
+        prio = code >> DELTA_BITS
+        delta = code & DMASK
+        idx = STOP_IDX - prio
         if align_type == "sw":
             do = active & (idx != STOP_IDX)
         else:
             do = active
         is_diag = idx < P
         is_vert = (idx >= P) & (idx < 2 * P)
-        slot = jnp.where(is_diag, idx, jnp.maximum(idx - P, 0))
-        slot = jnp.minimum(slot, P - 1)
-        node = jnp.maximum(i - 1, 0)
-        pred = jnp.take(pf, (bidx * P + slot) * N + node)
-        prev_i = jnp.where(is_diag | is_vert, pred, i)
+        prev_i = jnp.where(is_diag | is_vert, i - delta, i)
+        prev_i = jnp.where(delta == 0, jnp.where(is_diag | is_vert, 0, i), prev_i)
         prev_j = jnp.where(is_diag | (~is_vert), j - 1, j)
-        nid = jnp.take(nf, bidx * N + node)
-        pnv = jnp.where(do, jnp.where(prev_i == i, -1, nid), -2)
+        pnv = jnp.where(do, jnp.where(prev_i == i, -1, i - 1), -2)
         ppv = jnp.where(do, jnp.where(prev_j == j, -1, j - 1), -2)
-        col = L - 1 - step
+        col = LP - 1 - step
         pn = lax.dynamic_update_slice(pn, pnv[:, None], (0, col))
         pp = lax.dynamic_update_slice(pp, ppv[:, None], (0, col))
         i = jnp.where(do, prev_i, i)
@@ -274,8 +341,16 @@ def _traceback_walk(combos, preds, node_id, maxi, maxj, align_type, L):
             nactive = do & ~((i == 0) | (j == 0))
         return step + 1, i, j, cnt, nactive, pn, pp
 
-    pn0 = jnp.full((BD, L), -2, jnp.int32)
-    pp0 = jnp.full((BD, L), -2, jnp.int32)
+    def body(st):
+        step, i, j, cnt, active, pn, pp = st
+        for _ in range(UNROLL):
+            step, i, j, cnt, active, pn, pp = one_step(
+                step, i, j, cnt, active, pn, pp
+            )
+        return step, i, j, cnt, active, pn, pp
+
+    pn0 = jnp.full((BD, LP), -2, jnp.int32)
+    pp0 = jnp.full((BD, LP), -2, jnp.int32)
     st = (
         jnp.int32(0),
         i0,
@@ -286,12 +361,36 @@ def _traceback_walk(combos, preds, node_id, maxi, maxj, align_type, L):
         pp0,
     )
     _, _, _, cnt, _, pn, pp = lax.while_loop(cond, body, st)
+    pn = pn[:, LP - L :]
+    pp = pp[:, LP - L :]
     cnt = jnp.where(started, cnt, 0)
     return (
         pn.reshape(B, D, L),
         pp.reshape(B, D, L),
         cnt.reshape(B, D),
     )
+
+
+def _ranks_to_node_ids(pn, node_id):
+    """In-jit rank -> node-id decode (gather over [B, D, L]; fine for small
+    test shapes, production callers decode on host with ranks_to_node_ids)."""
+    B, D, L = pn.shape
+    nid = node_id[:, 0, :]  # [B, N]
+    safe = jnp.maximum(pn, 0)
+    mapped = jnp.take_along_axis(
+        nid[:, None, :].repeat(D, axis=1).reshape(B * D, -1),
+        safe.reshape(B * D, L),
+        axis=1,
+    ).reshape(B, D, L)
+    return jnp.where(pn >= 0, mapped, pn)
+
+
+def ranks_to_node_ids_np(pn: np.ndarray, node_id_row: np.ndarray) -> np.ndarray:
+    """Host-side rank -> node-id decode for one window (node_id_row [N])."""
+    out = pn.copy()
+    pos = pn >= 0
+    out[pos] = node_id_row[pn[pos]]
+    return out
 
 
 def _poa_dp_pallas(
@@ -306,14 +405,25 @@ def _poa_dp_pallas(
     x: int,
     g: int,
     interpret: bool = False,
+    ring: int = 0,
 ):
-    """Runs the DP kernel; returns (combos [B,N1P,D,W], maxi, maxj, score)."""
+    """Runs the DP kernel; returns (dirs [B,N1P,D,W] int8, maxi, maxj, score).
+
+    ring: H-row ring size; every graph in the batch must have max
+    predecessor rank-distance <= ring (0 = full history, always safe)."""
     B, _, N = codes.shape
     P = preds.shape[1]
     D, W = seqp.shape[1], seqp.shape[2]
     CH = min(ROW_CHUNK, N + 1)
     NC = -(-(N + 1) // CH)
     N1P = NC * CH
+    R = N if ring <= 0 or ring > N else ring
+    if R >= (1 << DELTA_BITS):
+        raise ValueError(
+            f"ring {R} exceeds the {DELTA_BITS}-bit predecessor-delta field; "
+            f"pass ring<{1 << DELTA_BITS} (graphs with larger predecessor "
+            f"reach must go to the host/XLA path)"
+        )
 
     # true in-degree per row: padding repeats slot 0, real slots are distinct
     deg = (preds[:, 1:, :] != preds[:, :1, :]).sum(
@@ -328,6 +438,7 @@ def _poa_dp_pallas(
         P=P,
         NC=NC,
         CH=CH,
+        R=R,
         align_type=align_type,
         m=m,
         x=x,
@@ -362,14 +473,14 @@ def _poa_dp_pallas(
             vmem((1, 1, D)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, N1P, D, W), jnp.int32),
+            jax.ShapeDtypeStruct((B, N1P, D, W), jnp.int16),
             jax.ShapeDtypeStruct((B, 1, D), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, D), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, D), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((N + 1, D, W), jnp.int32),
-            pltpu.VMEM((D, W), jnp.int32),
+            pltpu.VMEM((R + 1, D, W), jnp.int16),
+            pltpu.VMEM((NCODES, D, W), jnp.int32),
             pltpu.VMEM((D, W), jnp.int32),
         ],
         interpret=interpret,
@@ -390,16 +501,20 @@ def _poa_align_pallas_impl(
     g: int,
     interpret: bool = False,
     dp_only: bool = False,
+    ring: int = 0,
+    emit_node_ids: bool = True,
 ):
     """Returns (pairs_node [B,D,L], pairs_pos [B,D,L], count [B,1,D],
-    score [B,1,D])."""
+    score [B,1,D]). With emit_node_ids=False, pairs_node holds DP ranks
+    (decode on host with ranks_to_node_ids_np — skips a [B,D,L] gather)."""
     B, _, N = codes.shape
+    P = preds.shape[1]
     D, W = seqp.shape[1], seqp.shape[2]
     L = N + W
 
-    combos, maxi, maxj, score = _poa_dp_pallas(
+    dirs, maxi, maxj, score = _poa_dp_pallas(
         codes, preds, sink, n_nodes, seqp, seq_len,
-        align_type, m, x, g, interpret=interpret,
+        align_type, m, x, g, interpret=interpret, ring=ring,
     )
     if dp_only:
         pn = jnp.full((B, D, L), -2, jnp.int32)
@@ -407,14 +522,18 @@ def _poa_align_pallas_impl(
         count = jnp.zeros((B, 1, D), jnp.int32)
         return pn, pp, count, score
 
-    pn, pp, count = _traceback_walk(
-        combos, preds, node_id, maxi, maxj, align_type, L
-    )
+    pn, pp, count = _traceback_walk(dirs, maxi, maxj, align_type, L, P)
+    if emit_node_ids:
+        pn = _ranks_to_node_ids(pn, node_id)
     return pn, pp, count[:, None, :], score
 
 
 _poa_align_pallas_jit = functools.partial(
-    jax.jit, static_argnames=("align_type", "m", "x", "g", "interpret", "dp_only")
+    jax.jit,
+    static_argnames=(
+        "align_type", "m", "x", "g", "interpret", "dp_only", "ring",
+        "emit_node_ids",
+    ),
 )(_poa_align_pallas_impl)
 
 

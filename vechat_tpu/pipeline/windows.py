@@ -25,6 +25,21 @@ WINDOW_TYPE_NGS = 0
 WINDOW_TYPE_TGS = 1
 
 
+def _pmap(fn, items, threads: int):
+    """Parallel map over per-window host work (graph build, prune, CC,
+    dense export). Windows are disjoint C++ objects and the ctypes calls
+    release the GIL, so plain threads give real parallelism — the analog of
+    the reference's thread pool over windows (src/polisher.cpp:499-516).
+    Order-preserving; falls back to a serial loop for threads<=1."""
+    items = list(items)
+    if threads <= 1 or len(items) <= 1:
+        return [fn(x) for x in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(threads, len(items))) as ex:
+        return list(ex.map(fn, items))
+
+
 @dataclass
 class WindowLayer:
     codes: np.ndarray  # encoded segment
@@ -128,54 +143,66 @@ def _build_phase(
     windows: List[Window],
     backend,
     collect_weight: bool,
+    threads: int = 1,
 ) -> Tuple[List[PoaGraph], List[float], List[List[int]]]:
     """Incremental POA build over all windows in lockstep layer steps.
     Returns (graphs, total_bases_weight per window, layer order per window).
     reference: src/window.cpp:84-136 (linear) / :197-298 (haplotype)."""
     from ..ops.native_graph import make_graph
 
-    graphs: List[PoaGraph] = []
-    totals: List[float] = []
-    orders: List[List[int]] = []
-
-    for w in windows:
+    def init_one(w):
         g = make_graph()
-        bw = _backbone_weights(w)
-        g.add_alignment([], w.backbone_codes, bw)
-        graphs.append(g)
-        totals.append(_total_bases_weight_backbone(w) if collect_weight else 0.0)
-        orders.append(_layer_order(w))
+        g.add_alignment([], w.backbone_codes, _backbone_weights(w))
+        return (
+            g,
+            _total_bases_weight_backbone(w) if collect_weight else 0.0,
+            _layer_order(w),
+        )
+
+    built = _pmap(init_one, windows, threads)
+    graphs = [b[0] for b in built]
+    totals = [b[1] for b in built]
+    orders = [b[2] for b in built]
 
     max_layers = max((len(w.layers) for w in windows), default=0)
     for step in range(max_layers):
-        items = []
-        meta = []  # (window index, layer, mapping or None)
-        for wi, w in enumerate(windows):
-            if step >= len(w.layers):
-                continue
+        live = [
+            wi for wi, w in enumerate(windows) if step < len(w.layers)
+        ]
+
+        def make_item(wi):
+            w = windows[wi]
             layer = w.layers[orders[wi][step]]
             blen = len(w.backbone_codes)
             offset = int(0.01 * blen)  # src/window.cpp:99,212
             g = graphs[wi]
             if layer.begin < offset and layer.end > blen - offset:
-                items.append((layer.codes, g, "nw"))
-                meta.append((wi, layer, None))
-            else:
-                sub, mapping = g.subgraph(layer.begin, layer.end)
-                items.append((layer.codes, sub, "nw"))
-                meta.append((wi, layer, mapping))
+                return (layer.codes, g, "nw"), (wi, layer, None)
+            sub, mapping = g.subgraph(layer.begin, layer.end)
+            return (layer.codes, sub, "nw"), (wi, layer, mapping)
+
+        pairs = _pmap(make_item, live, threads)
+        items = [p[0] for p in pairs]
+        meta = [p[1] for p in pairs]
 
         alignments = backend.align_batch(items)
-        for (wi, layer, mapping), aln in zip(meta, alignments):
+
+        def apply_one(arg):
+            (wi, layer, mapping), aln = arg
             if mapping is not None:
                 aln = PoaGraph.update_alignment(mapping, aln)
             weights = _layer_weights(layer.codes, layer.quality)
             graphs[wi].add_alignment(aln, layer.codes, weights)
-            if collect_weight:
-                if layer.quality is None:
-                    totals[wi] += float(len(layer.codes))
-                else:
-                    totals[wi] += phred_prob_sum(layer.quality)
+            if not collect_weight:
+                return 0.0
+            if layer.quality is None:
+                return float(len(layer.codes))
+            return phred_prob_sum(layer.quality)
+
+        added = _pmap(apply_one, zip(meta, alignments), threads)
+        if collect_weight:
+            for (wi, _, _), a in zip(meta, added):
+                totals[wi] += a
 
     return graphs, totals, orders
 
@@ -184,6 +211,7 @@ def generate_consensus_linear(
     windows: List[Window],
     backend,
     trim: bool,
+    threads: int = 1,
 ) -> None:
     """Round-2 racon consensus over a batch of windows
     (reference: src/window.cpp:74-174)."""
@@ -197,9 +225,10 @@ def generate_consensus_linear(
     if not active:
         return
 
-    graphs, _, _ = _build_phase(active, backend, collect_weight=False)
+    graphs, _, _ = _build_phase(active, backend, collect_weight=False, threads=threads)
 
-    for w, g in zip(active, graphs):
+    def consensus_one(arg):
+        w, g = arg
         codes, coverages = g.generate_consensus_with_coverage()
         codes = np.asarray(codes, dtype=np.uint8)
         if w.window_type == WINDOW_TYPE_TGS and trim:
@@ -216,6 +245,8 @@ def generate_consensus_linear(
         w.consensus_codes = codes
         w.polished = True
 
+    _pmap(consensus_one, zip(active, graphs), threads)
+
 
 def generate_consensus_haplotype(
     windows: List[Window],
@@ -223,6 +254,7 @@ def generate_consensus_haplotype(
     min_confidence: float,
     min_support: float,
     num_prune: int,
+    threads: int = 1,
 ) -> None:
     """Round-1 variation-graph correction over a batch of windows
     (reference: src/window.cpp:176-428)."""
@@ -236,19 +268,25 @@ def generate_consensus_haplotype(
     if not active:
         return
 
-    graphs, totals, orders = _build_phase(active, backend, collect_weight=True)
+    graphs, totals, orders = _build_phase(
+        active, backend, collect_weight=True, threads=threads
+    )
 
     # prune the original POA graph (src/window.cpp:300-321)
-    pruned: List[PoaGraph] = []
-    for w, g, total in zip(active, graphs, totals):
+    def prune_one(arg):
+        w, g, total = arg
         window_len = np.uint16(len(w.backbone_codes))  # uint16 per reference
         if w.if_fasta:
             average_weight = 2.0 * total / int(window_len)
         else:
             average_weight = 2.0 * total / int(window_len) * 1000.0
         g.prune_graph(0, min_confidence, min_support, average_weight)
-        pruned.append(g.largest_subgraph())
         w._average_weight = average_weight  # reused every re-prune round
+        return g.largest_subgraph()
+
+    pruned: List[PoaGraph] = _pmap(
+        prune_one, zip(active, graphs, totals), threads
+    )
 
     # iterative realign + AddWeights + re-prune (src/window.cpp:329-386).
     # Graph structure is frozen within a round (AddWeights only re-weights
@@ -274,19 +312,37 @@ def generate_consensus_haplotype(
                 meta.append((wi, codes, quality))
 
         alignments = backend.align_batch(items)
-        for (wi, codes, quality), aln in zip(meta, alignments):
-            weights = phred_weights(quality, len(codes))
-            pruned[wi].add_weights(aln, codes, weights)
 
-        for wi, (w, g) in enumerate(zip(active, pruned)):
+        # apply AddWeights parallel ACROSS windows, serial WITHIN a window
+        # (backbone first, then layers in order — the reference's call order)
+        per_window: dict = {}
+        for k, (wi, _, _) in enumerate(meta):
+            per_window.setdefault(wi, []).append(k)
+
+        def add_weights_one(wi):
+            g = pruned[wi]
+            for k in per_window[wi]:
+                _, codes, quality = meta[k]
+                g.add_weights(alignments[k], codes, phred_weights(quality, len(codes)))
+
+        _pmap(add_weights_one, per_window.keys(), threads)
+
+        def reprune_one(arg):
+            w, g = arg
             g.prune_graph(0, min_confidence, min_support, w._average_weight)
-            pruned[wi] = g.largest_subgraph()
+            return g.largest_subgraph()
+
+        pruned = _pmap(reprune_one, zip(active, pruned), threads)
 
     # final backbone local alignment + corrected emit (src/window.cpp:388-394)
     items = [(w.backbone_codes, g, "sw") for w, g in zip(active, pruned)]
     alignments = backend.align_batch(items)
-    for w, g, aln in zip(active, pruned, alignments):
+
+    def emit_one(arg):
+        w, g, aln = arg
         w.consensus_codes = np.asarray(
             g.generate_corrected_sequence(aln), dtype=np.uint8
         )
         w.polished = True
+
+    _pmap(emit_one, zip(active, pruned, alignments), threads)
