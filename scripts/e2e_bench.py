@@ -51,6 +51,7 @@ def main():
     ap.add_argument("--error-rate", type=float, default=0.08)
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("-t", "--threads", type=int, default=1)
     args = ap.parse_args()
 
     from vechat_tpu.io.fastx import SeqRecord, write_fastx
@@ -89,7 +90,8 @@ def main():
 
     t0 = time.perf_counter()
     rc = vechat_main(
-        [inp, "-o", outp, "--platform", "ont", "--backend", args.backend]
+        [inp, "-o", outp, "--platform", "ont", "--backend", args.backend,
+         "-t", str(args.threads)]
     )
     dt = time.perf_counter() - t0
     assert rc == 0

@@ -46,11 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def make_backend(name: str, match: int, mismatch: int, gap: int):
+def make_backend(name: str, match: int, mismatch: int, gap: int, threads: int = 1):
     if name == "host":
         from ..pipeline.windows import HostAlignerBackend
 
-        return HostAlignerBackend(match, mismatch, gap)
+        return HostAlignerBackend(match, mismatch, gap, threads=threads)
     if name == "jax":
         from ..ops.kernels.poa_jax import JaxAlignerBackend
 
@@ -71,7 +71,7 @@ def make_backend(name: str, match: int, mismatch: int, gap: int):
         pass
     from ..pipeline.windows import HostAlignerBackend
 
-    return HostAlignerBackend(match, mismatch, gap)
+    return HostAlignerBackend(match, mismatch, gap, threads=threads)
 
 
 def main(argv=None) -> int:
@@ -97,7 +97,7 @@ def main(argv=None) -> int:
         match=args.match,
         mismatch=args.mismatch,
         gap=args.gap,
-        backend=make_backend(args.backend, args.match, args.mismatch, args.gap),
+        backend=make_backend(args.backend, args.match, args.mismatch, args.gap, threads=args.threads),
         logger=logger,
         threads=args.threads,
     )

@@ -169,7 +169,7 @@ def run_round(
         match=args.match,
         mismatch=args.mismatch,
         gap=args.gap,
-        backend=make_backend(args.backend, args.match, args.mismatch, args.gap),
+        backend=make_backend(args.backend, args.match, args.mismatch, args.gap, threads=args.threads),
         logger=logger,
         threads=args.threads,
     )
@@ -297,7 +297,7 @@ def run_round_targets(
         match=args.match,
         mismatch=args.mismatch,
         gap=args.gap,
-        backend=make_backend(args.backend, args.match, args.mismatch, args.gap),
+        backend=make_backend(args.backend, args.match, args.mismatch, args.gap, threads=args.threads),
         logger=logger,
         threads=args.threads,
     )

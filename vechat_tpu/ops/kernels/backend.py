@@ -26,7 +26,7 @@ P_BUCKETS = (4, 8, 16)
 # deeper D (poa_pallas.py module docstring). Max ring 511: the predecessor
 # delta must fit the kernel's 9-bit field (poa_pallas.DELTA_BITS)
 R_BUCKETS = (64, 128, 256, 511)
-D_CHOICES = (32, 16, 8, 4, 2, 1)
+D_CHOICES = (48, 32, 16, 8, 4, 2, 1)
 VMEM_BUDGET = 13 * 1024 * 1024
 DIR_HBM_BUDGET = 1 << 30  # bytes of direction tensor per dispatch
 

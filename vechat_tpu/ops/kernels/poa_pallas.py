@@ -104,7 +104,9 @@ def _sh_bits(P: int) -> int:
 
 def _dp_kernel(
     codes_ref,  # [1, 1, N] int32 SMEM: rank-ordered node codes
-    preds_ref,  # [1, P, N] int32 SMEM: pred DP-row per slot (in-edge order)
+    aux_ref,  # [1, P, N] int32 SMEM: per slot, H-ring slot << 16 | diag pack
+    # ((prio<<DELTA_BITS)+delta) — precomputed outside the kernel so each
+    # slot costs ONE scalar load instead of a where/rem/shift chain
     deg_ref,  # [1, 1, N] int32 SMEM: true in-degree (distinct pred slots)
     sink_ref,  # [1, 1, N] int32 SMEM (1 = no out-edges)
     nn_ref,  # [1, 1, 1] int32 SMEM: number of nodes
@@ -172,18 +174,16 @@ def _dp_kernel(
             )
 
     def slot_range(acc, prof_c, r, lo, hi):
+        # vert pack = diag pack - (P << DELTA_BITS): vprio = dprio - P
+        VADJ = jnp.int32((g << SH) - (P << DELTA_BITS))
         for p in range(lo, hi):
-            pr = preds_ref[0, p, r]
-            slot = jnp.where(pr == 0, R, lax.rem(pr - 1, R))
-            # delta 0 = "to the row-0 boundary"; real deltas are >= 1
-            delta = jnp.where(pr == 0, 0, (r + 1) - pr)
-            rowv = H[slot].astype(jnp.int32) << SH
-            # candidate codes: priority idx -> prio = (2P+1) - idx
-            dpack = ((2 * P + 1 - p) << DELTA_BITS) + delta
-            vpack = ((P + 1 - p) << DELTA_BITS) + delta
+            aux = aux_ref[0, p, r]
+            hslot = aux >> 16
+            dpack = aux & 0xFFFF
+            rowv = H[hslot].astype(jnp.int32) << SH
             diag = pltpu.roll(rowv, 1, axis=1) + (prof_c + dpack)
             diag = jnp.where(lane0, negc, diag)
-            vert = rowv + (jnp.int32(g << SH) + vpack)
+            vert = rowv + (VADJ + dpack)
             acc = jnp.maximum(acc, jnp.maximum(diag, vert))
         return acc
 
@@ -305,14 +305,31 @@ def _traceback_walk(dirs, maxi, maxj, align_type, L, P):
         step, _, _, _, active, _, _ = st
         return (step < L) & jnp.any(active)
 
-    UNROLL = 8  # steps per while iteration: amortizes loop overhead
+    UNROLL = 16  # steps per while iteration: amortizes loop overhead
     # pad the pair buffers so an unrolled tail never writes below column 0
     # (the last batch can run to step L+UNROLL-2 with all lanes inactive)
     LP = L + UNROLL
 
+    # XLA TPU gather cost is superlinear in index count (~free at <=256
+    # indices, 13us at 2048, 54us/step at 3072 on v5e) — split each step's
+    # gather into <=256-index chunks that the scheduler pipelines
+    GCHUNK = 256
+    NG = -(-BD // GCHUNK)
+    PADBD = NG * GCHUNK
+
+    def _gather(flat):
+        if NG == 1:
+            return jnp.take(cf, flat).astype(jnp.int32)
+        flat = jnp.pad(flat, (0, PADBD - BD))
+        parts = [
+            jnp.take(cf, lax.dynamic_slice(flat, (g * GCHUNK,), (GCHUNK,)))
+            for g in range(NG)
+        ]
+        return jnp.concatenate(parts)[:BD].astype(jnp.int32)
+
     def one_step(step, i, j, cnt, active, pn, pp):
         flat = ((bidx * N1P + i) * D + didx) * W + j
-        code = jnp.take(cf, flat).astype(jnp.int32)
+        code = _gather(flat)
         prio = code >> DELTA_BITS
         delta = code & DMASK
         idx = STOP_IDX - prio
@@ -430,6 +447,16 @@ def _poa_dp_pallas(
         axis=1, dtype=jnp.int32
     )[:, None, :] + 1  # [B, 1, N]
 
+    # per-slot aux pack (vectorized XLA, off the kernel's scalar unit):
+    # hslot << 16 | (prio << DELTA_BITS) + delta, where hslot is the H-ring
+    # slot (R = pinned row-0 boundary) and delta the predecessor distance
+    rows = jnp.arange(1, N + 1, dtype=jnp.int32)[None, None, :]
+    pz = preds == 0
+    hslot = jnp.where(pz, R, lax.rem(preds - 1, R))
+    delta = jnp.where(pz, 0, rows - preds)
+    dprio = (2 * P + 1 - jnp.arange(P, dtype=jnp.int32))[None, :, None]
+    aux = (hslot << 16) | ((dprio << DELTA_BITS) + delta)
+
     kernel = functools.partial(
         _dp_kernel,
         N=N,
@@ -484,7 +511,7 @@ def _poa_dp_pallas(
             pltpu.VMEM((D, W), jnp.int32),
         ],
         interpret=interpret,
-    )(codes, preds, deg, sink, n_nodes, seqp, seq_len)
+    )(codes, aux, deg, sink, n_nodes, seqp, seq_len)
 
 
 def _poa_align_pallas_impl(

@@ -360,7 +360,9 @@ class Polisher:
         for ov, cigar in zip(need, cigars):
             ov.cigar = cigar
 
-        for ov in overlaps:
+        from .windows import _pmap
+
+        def bp_one(ov):
             ov.breaking_points = find_breaking_points_from_cigar(
                 ov.cigar,
                 self.window_length,
@@ -373,10 +375,17 @@ class Polisher:
             )
             ov.cigar = ""
 
+        _pmap(bp_one, overlaps, self.threads)
+
     def _align_pairs_batch(self, pairs) -> List[str]:
         if hasattr(self.backend, "edit_align_batch"):
             return self.backend.edit_align_batch(pairs)
-        return [edit_align(q, t) for q, t in pairs]
+        # host path: the native pairwise DP releases the GIL, so -t threads
+        # give real parallelism (reference: src/polisher.cpp:469-483 threads
+        # the same loop)
+        from .windows import _pmap
+
+        return _pmap(lambda p: edit_align(*p), pairs, self.threads)
 
     # ----------------------------------------------------------------- polish
 

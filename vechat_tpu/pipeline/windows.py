@@ -85,29 +85,30 @@ class Window:
 
 class HostAlignerBackend:
     """Batch aligner backend running on the host: native C++ engine when the
-    graph is native, numpy oracle otherwise."""
+    graph is native, numpy oracle otherwise. threads>1 fans the batch over a
+    thread pool (the native aligner releases the GIL)."""
 
-    def __init__(self, match: int, mismatch: int, gap: int):
+    def __init__(self, match: int, mismatch: int, gap: int, threads: int = 1):
         self.match, self.mismatch, self.gap = match, mismatch, gap
+        self.threads = max(1, threads)
         self.nw = LinearAligner("nw", match, mismatch, gap)
         # the local engine is ALWAYS 3/-5/-4 regardless of CLI scores
         # (reference: src/window.cpp:326)
         self.sw = LinearAligner("sw", 3, -5, -4)
 
+    def _align_one(self, item):
+        codes, graph, mode = item
+        if hasattr(graph, "align_host"):
+            if mode == "nw":
+                return graph.align_host(
+                    codes, "nw", self.match, self.mismatch, self.gap
+                )
+            return graph.align_host(codes, "sw", 3, -5, -4)
+        eng = self.nw if mode == "nw" else self.sw
+        return eng.align(codes, graph)
+
     def align_batch(self, items: Sequence[Tuple[np.ndarray, PoaGraph, str]]):
-        out = []
-        for codes, graph, mode in items:
-            if hasattr(graph, "align_host"):
-                if mode == "nw":
-                    out.append(
-                        graph.align_host(codes, "nw", self.match, self.mismatch, self.gap)
-                    )
-                else:
-                    out.append(graph.align_host(codes, "sw", 3, -5, -4))
-            else:
-                eng = self.nw if mode == "nw" else self.sw
-                out.append(eng.align(codes, graph))
-        return out
+        return _pmap(self._align_one, items, self.threads)
 
 
 def _layer_weights(layer_codes: np.ndarray, quality: Optional[str]) -> np.ndarray:
