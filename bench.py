@@ -18,11 +18,14 @@ cancelled from this side — a hung or pathologically slow computation wedges
 the whole chip for every later client. So each measurement stage runs in a
 SUBPROCESS under its own timeout, stages escalate small -> large, and
 escalation stops at the first failure; the tracked JSON line reports the
-largest completed stage. A device-sanity stage (one matmul) runs first so a
-pre-wedged chip yields an honest 0 quickly instead of hanging the driver.
+best GCUPS across completed stages. A device-sanity stage (one matmul) runs
+first so a pre-wedged chip yields an honest 0 quickly instead of hanging the
+driver.
 
 Side metrics (stderr): DP-only GCUPS and e2e pipeline windows/sec + corrected
-reads/sec on a synthetic 2-strain set (BASELINE.md tracked metrics).
+reads/sec on a synthetic 2-strain set (BASELINE.md tracked metrics). The e2e
+side metrics run even when the kernel stages fail (host backend), so every
+round's artifact carries pipeline-level numbers.
 """
 
 import json
@@ -148,7 +151,7 @@ def run_stage(name, B, N, P, D, W, K):
     """Subprocess entry: measure one shape, print STAGE_RESULT json."""
     import jax.numpy as jnp
 
-    from vechat_tpu.ops.kernels.backend import R_BUCKETS
+    from vechat_tpu.ops.kernels.backend import R_BUCKETS, _d_cap
     from vechat_tpu.ops.kernels.poa_pallas import (
         max_pred_distance,
         poa_align_pallas,
@@ -159,7 +162,34 @@ def run_stage(name, B, N, P, D, W, K):
         max_pred_distance(args_np[1][b].T, int(args_np[4][b, 0, 0]))
         for b in range(B)
     )
-    ring = next((r for r in R_BUCKETS if dist <= r < N), 0)
+    # mirror the backend's ring-bucket selection (backend.py): 0 = full
+    # history only when N fits the 9-bit delta field; dist beyond the
+    # largest bucket cannot run on the kernel at all
+    ring = next((r for r in R_BUCKETS if dist <= r < N), None)
+    if ring is None and N <= R_BUCKETS[-1]:
+        ring = 0
+    if ring is None and dist <= R_BUCKETS[-1]:
+        ring = R_BUCKETS[-1]
+    if ring is None:
+        print(
+            f"[bench:{name}] maxdist={dist} exceeds the largest ring bucket "
+            f"{R_BUCKETS[-1]} — kernel cannot run this graph; skipping stage",
+            file=sys.stderr,
+            flush=True,
+        )
+        return
+    # clamp D to the VMEM budget for the chosen ring (the stage table's D
+    # is a request, not a guarantee) and rebuild the batch if it shrank
+    dcap = _d_cap((ring if ring else N) + 1, W)
+    if D > dcap:
+        print(
+            f"[bench:{name}] D={D} exceeds VMEM cap {dcap} at ring={ring}; "
+            f"clamping",
+            file=sys.stderr,
+            flush=True,
+        )
+        D = dcap
+        args_np, cells = synth_graph_batch(B, N, P, D, W, seed=0)
     print(
         f"[bench:{name}] B={B} N={N} D={D} W={W} maxdist={dist} ring={ring}",
         file=sys.stderr,
@@ -222,8 +252,14 @@ def _sub(argv, timeout):
             text=True,
             timeout=timeout,
         )
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
         print(f"[bench] {argv} TIMED OUT after {timeout}s", file=sys.stderr)
+        if e.stderr:
+            partial = e.stderr
+            if isinstance(partial, bytes):
+                partial = partial.decode(errors="replace")
+            for line in partial.splitlines():
+                print(line, file=sys.stderr)
         return None
     for line in r.stderr.splitlines():
         print(line, file=sys.stderr)
@@ -288,14 +324,16 @@ def main():
 
     # pipeline-level side metrics (BASELINE.md tracked: windows/sec,
     # corrected reads/sec) — full 2-round pipeline on a synthetic 2-strain
-    # set through the real CLI with the device backend; non-fatal
-    if ok and best > 0 and os.environ.get("VECHAT_BENCH_E2E", "1") == "1":
+    # set through the real CLI; device backend when the chip proved itself,
+    # host backend otherwise so every round records pipeline numbers
+    if os.environ.get("VECHAT_BENCH_E2E", "1") == "1":
+        e2e_backend = "pallas" if (ok and best > 0) else "host"
         try:
             r = subprocess.run(
                 [
                     sys.executable,
                     os.path.join(HERE, "scripts", "e2e_bench.py"),
-                    "--reads", "40", "--backend", "pallas",
+                    "--reads", "40", "--backend", e2e_backend,
                 ],
                 capture_output=True, text=True, timeout=600,
             )

@@ -46,6 +46,61 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+_PROBE_CACHE: dict = {}
+
+
+def probe_device_health(timeout_s: float = 15.0) -> str:
+    """Probe, in a SUBPROCESS, whether the default jax device actually
+    EXECUTES work — `jax.devices()` can enumerate a chip that then hangs
+    forever at dispatch (tunneled-TPU failure mode). Returns:
+
+    - ``"ok"``     — non-CPU device completed a small matmul
+    - ``"cpu"``    — default platform is CPU (no accelerator to probe)
+    - ``"wedged"`` — device enumerates but did not finish within timeout_s
+
+    Runs before this process creates its own device client (a subprocess
+    that has exited keeps the one-TPU-client-at-a-time rule). Result is
+    cached per process.
+    """
+    import os
+    import subprocess
+    import sys as _sys
+
+    if "r" in _PROBE_CACHE:
+        return _PROBE_CACHE["r"]
+    env_p = os.environ.get("JAX_PLATFORMS", "")
+    if env_p and all(p.strip() == "cpu" for p in env_p.split(",") if p.strip()):
+        _PROBE_CACHE["r"] = "cpu"
+        return "cpu"
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "p = jax.default_backend()\n"
+        "print('PLATFORM', p, flush=True)\n"
+        "if p != 'cpu':\n"
+        "    x = jnp.ones((128, 128), jnp.float32)\n"
+        "    print('EXEC_OK', float((x @ x).sum()), flush=True)\n"
+    )
+    status = "wedged"
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+        out = r.stdout
+        if "PLATFORM cpu" in out:
+            status = "cpu"
+        elif "EXEC_OK" in out:
+            status = "ok"
+    except subprocess.TimeoutExpired:
+        status = "wedged"
+    except Exception:
+        status = "cpu"  # no usable jax at all -> host backend
+    _PROBE_CACHE["r"] = status
+    return status
+
+
 def make_backend(name: str, match: int, mismatch: int, gap: int, threads: int = 1):
     if name == "host":
         from ..pipeline.windows import HostAlignerBackend
@@ -59,16 +114,26 @@ def make_backend(name: str, match: int, mismatch: int, gap: int, threads: int = 
         from ..ops.kernels.backend import PallasAlignerBackend
 
         return PallasAlignerBackend(match, mismatch, gap)
-    # auto: Pallas kernel on TPU, host oracle elsewhere
-    try:
-        import jax
+    # auto: Pallas kernel on a device PROVEN to execute, host oracle
+    # otherwise. The probe runs in a subprocess BEFORE this process builds
+    # a device client, so a wedged chip costs one bounded timeout instead
+    # of hanging the pipeline (reference analog: cudapolisher's CPU
+    # fallback when the GPU refuses work, src/cuda/cudapolisher.cpp:204-214).
+    import os
 
-        if jax.default_backend() != "cpu":
-            from ..ops.kernels.backend import PallasAlignerBackend
+    timeout_s = float(os.environ.get("VECHAT_DEVICE_PROBE_TIMEOUT", "60"))
+    health = probe_device_health(timeout_s)
+    if health == "ok":
+        from ..ops.kernels.backend import PallasAlignerBackend
 
-            return PallasAlignerBackend(match, mismatch, gap)
-    except Exception:
-        pass
+        return PallasAlignerBackend(match, mismatch, gap)
+    if health == "wedged":
+        print(
+            "[vechat] WARNING: accelerator enumerates but does not execute "
+            f"(probe timed out after {timeout_s:.0f}s) — falling back to "
+            "host backend",
+            file=sys.stderr,
+        )
     from ..pipeline.windows import HostAlignerBackend
 
     return HostAlignerBackend(match, mismatch, gap, threads=threads)
