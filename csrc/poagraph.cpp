@@ -960,4 +960,22 @@ int pw_align(const uint8_t* q, int lq, const uint8_t* t, int lt,
   return cnt;
 }
 
+// Layer processing order for window consensus. The reference sorts
+// rank[1..n] (sequence indices; rank[0] is the backbone) with std::sort on
+// `positions_[l].first < positions_[r].first` (src/window.cpp:97,210) —
+// UNSTABLE, so equal-begin layers land in libstdc++-introsort order, and
+// POA construction is order-sensitive. Byte-parity with the reference
+// binary requires replaying the very same sort: same initial permutation
+// [1..n], same comparator, same std::sort. out_order receives 0-based
+// layer indices (value l-1 for sequence index l).
+int layer_sort_order(const int32_t* begins, int n, int32_t* out_order) {
+  std::vector<uint32_t> rank(static_cast<size_t>(n) + 1);
+  for (int i = 0; i <= n; ++i) rank[i] = static_cast<uint32_t>(i);
+  std::sort(rank.begin() + 1, rank.end(), [&](uint32_t l, uint32_t r) {
+    return begins[l - 1] < begins[r - 1];
+  });
+  for (int i = 0; i < n; ++i) out_order[i] = static_cast<int32_t>(rank[i + 1]) - 1;
+  return 0;
+}
+
 }  // extern "C"

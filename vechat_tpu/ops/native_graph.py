@@ -103,7 +103,25 @@ def _build():
         _i64p, _i32p, _i32p, _i32p, _i32p, _i32p,
     ]
     lib.poa_load.restype = ctypes.c_void_p
+    lib.layer_sort_order.argtypes = [_i32p, ctypes.c_int, _i32p]
     return lib
+
+
+def layer_sort_order(begins) -> "np.ndarray":
+    """Layer processing order, replaying the reference's UNSTABLE std::sort
+    of rank[1:] by layer begin (src/window.cpp:97,210) via the native
+    libstdc++ sort — byte-parity with the reference binary depends on the
+    tie order of equal-begin layers. Falls back to a stable argsort when
+    the native lib is unavailable (documented parity gap)."""
+    import numpy as np
+
+    begins = np.ascontiguousarray(begins, dtype=np.int32)
+    lib = get_lib()
+    if lib is None:
+        return np.argsort(begins, kind="stable").astype(np.int32)
+    out = np.empty(len(begins), dtype=np.int32)
+    lib.layer_sort_order(begins, len(begins), out)
+    return out
 
 
 def get_lib():

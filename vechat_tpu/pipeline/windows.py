@@ -123,10 +123,14 @@ def _backbone_weights(w: Window) -> np.ndarray:
 
 
 def _layer_order(w: Window) -> List[int]:
-    """Layers sorted by begin position, stable (reference sorts rank[1:] by
-    positions_[i].first — src/window.cpp:97,210; std::sort tie order is
-    unspecified there, we fix it as stable)."""
-    idx = np.argsort([l.begin for l in w.layers], kind="stable")
+    """Layers sorted by begin position, replaying the reference's UNSTABLE
+    std::sort of rank[1:] by positions_[i].first (src/window.cpp:97,210).
+    Equal-begin tie order follows libstdc++ introsort — POA construction is
+    order-sensitive, so byte-parity with the reference binary requires the
+    exact same permutation (differential test scripts/diff_reference.py)."""
+    from ..ops.native_graph import layer_sort_order
+
+    idx = layer_sort_order([l.begin for l in w.layers])
     return [int(i) for i in idx]
 
 
