@@ -248,11 +248,17 @@ def run_round_targets(
         overlaps = read_paf(overlaps_path)
     else:
         params = OverlapParams.for_platform(args.platform)
-        # overlap chunk targets vs all queries (both roles present)
+        # overlap chunk targets vs all queries (both roles present);
+        # target_names restricts pair expansion so each chunk does ~1/K of
+        # the all-vs-all work instead of recomputing the full matrix
+        # (reference per-chunk query subsetting, scripts/vechat:99-169)
         pool = {r.name: r for r in queries}
         for t in targets:
             pool.setdefault(t.name, t)
-        overlaps = find_overlaps(list(pool.values()), params)
+        tnames_set = {t.name for t in targets}
+        all_reads = list(pool.values())
+        restrict = tnames_set if len(targets) < len(all_reads) else None
+        overlaps = find_overlaps(all_reads, params, target_names=restrict)
         if iteration == 1:
             overlaps = filter_length_identity(overlaps, min_block=500)
             overlaps = filter_fpa(overlaps)

@@ -140,7 +140,9 @@ def _seg_cummax(vals: np.ndarray, seg_id: np.ndarray) -> np.ndarray:
 
 
 def find_overlaps(
-    reads: Sequence[SeqRecord], params: Optional[OverlapParams] = None
+    reads: Sequence[SeqRecord],
+    params: Optional[OverlapParams] = None,
+    target_names: Optional[set] = None,
 ) -> List[PafRecord]:
     """All-vs-all overlap candidates (both orderings emitted like minimap2
     --dual=yes).
@@ -155,6 +157,14 @@ def find_overlaps(
          position whose target positions extend the segmented running max
          (monotone chain = the chaining DP's accept set for clean overlaps)
       5. per pair keep the best-scoring cluster; spans from chained anchors
+
+    target_names: when set, only pairs touching at least one named read are
+    expanded — the minimizer index is still built over the full pool, but
+    chaining/scan work becomes proportional to the chunk, the semantics of
+    the reference's per-chunk query subsetting (scripts/vechat:99-169).
+    Per-pair results are bit-identical to the unrestricted run because every
+    post-expansion step (clustering, chaining, best-cluster, spans) is
+    per-pair independent.
     """
     params = params or OverlapParams()
     k = params.k
@@ -203,8 +213,25 @@ def find_overlaps(
     grp_start = np.zeros(len(sizes), dtype=np.int64)
     np.cumsum(sizes[:-1], out=grp_start[1:])
 
-    # all intra-group ordered pairs via repeat/cumsum expansion
-    reps = sizes[gid]  # each element pairs with its whole group
+    # intra-group pair expansion via repeat/cumsum. With target_names set,
+    # reorder each group target-elements-first so non-target elements pair
+    # only against the group's target prefix: pair count drops from
+    # sum(size^2) to sum(size * targets_in_group).
+    if target_names is not None:
+        is_t_read = np.zeros(len(reads), dtype=bool)
+        for rid_, r in enumerate(reads):
+            if r.name in target_names:
+                is_t_read[rid_] = True
+        elem_t = is_t_read[RID]
+        order_t = np.lexsort((~elem_t, gid))  # targets first in each group
+        PS, PE, STR, RID, gid = (
+            PS[order_t], PE[order_t], STR[order_t], RID[order_t], gid[order_t]
+        )
+        elem_t = elem_t[order_t]
+        tcount = np.bincount(gid[elem_t], minlength=len(sizes))
+        reps = np.where(elem_t, sizes[gid], tcount[gid])
+    else:
+        reps = sizes[gid]  # each element pairs with its whole group
     total = int(reps.sum())
     left = np.repeat(np.arange(n, dtype=np.int64), reps)
     cum = np.zeros(n, dtype=np.int64)
