@@ -46,9 +46,12 @@ BASELINE_GCUPS = 10.0
 ROUNDTRIP_S = 0.065  # measured host<->device fetch latency on this machine
 
 # name, B, N, P, D, W, K, timeout_s   (ring chosen per-stage from the graphs)
+# K sized so K * per-iter time >> the 65 ms tunnel roundtrip: the guard in
+# run_stage rejects latency-floored walls, so small shapes need many chained
+# iterations to produce a measurable signal
 STAGES = [
-    ("small", 8, 256, 8, 8, 256, 4, 420),
-    ("medium", 32, 640, 8, 16, 512, 4, 420),
+    ("small", 8, 256, 8, 8, 256, 512, 420),
+    ("medium", 32, 640, 8, 16, 512, 32, 420),
     ("full", 64, 640, 8, 48, 512, 8, 420),
 ]
 
@@ -144,7 +147,9 @@ def chain_time(fn, args, feed_idx, probe, K=8):
     r = chained(*args)
     np.asarray(r).ravel()[:1]
     tot = time.perf_counter() - t0
-    return max(tot - ROUNDTRIP_S, 1e-9) / K
+    # (per-iteration time, raw wall time) — the caller must treat raw walls
+    # below a few roundtrips as latency-floored and unreliable
+    return max(tot - ROUNDTRIP_S, 1e-9) / K, tot
 
 
 def run_stage(name, B, N, P, D, W, K):
@@ -197,7 +202,7 @@ def run_stage(name, B, N, P, D, W, K):
     )
     a = [jnp.asarray(x) for x in args_np]
 
-    dt_full = chain_time(
+    dt_full, wall_full = chain_time(
         lambda *xs: poa_align_pallas(
             *xs, align_type="nw", m=3, x=-5, g=-4, ring=ring,
             emit_node_ids=False,
@@ -209,7 +214,7 @@ def run_stage(name, B, N, P, D, W, K):
     )
     gcups = cells / dt_full / 1e9
 
-    dt_dp = chain_time(
+    dt_dp, wall_dp = chain_time(
         lambda *xs: poa_align_pallas(
             *xs, align_type="nw", m=3, x=-5, g=-4, dp_only=True, ring=ring
         ),
@@ -221,10 +226,24 @@ def run_stage(name, B, N, P, D, W, K):
     print(
         f"[bench:{name}] dp_only {cells / dt_dp / 1e9:.2f} GCUPS "
         f"({dt_dp*1e3:.2f} ms) | dp+traceback {gcups:.2f} GCUPS "
-        f"({dt_full*1e3:.2f} ms)",
+        f"({dt_full*1e3:.2f} ms) | walls {wall_dp*1e3:.0f}/{wall_full*1e3:.0f} ms",
         file=sys.stderr,
         flush=True,
     )
+    # latency-floor guard: when the whole K-iteration chain finishes within
+    # a few tunnel roundtrips, the subtraction is noise-dominated and the
+    # GCUPS figure is meaningless — report the stage as completed (so
+    # escalation continues) but without a number
+    if wall_full < 3 * ROUNDTRIP_S:
+        print(
+            f"[bench:{name}] wall {wall_full*1e3:.1f} ms < "
+            f"{3*ROUNDTRIP_S*1e3:.0f} ms latency floor — too fast to "
+            "measure at this shape; not counting",
+            file=sys.stderr,
+            flush=True,
+        )
+        print("STAGE_RESULT " + json.dumps({"gcups": 0.0}), flush=True)
+        return
     print("STAGE_RESULT " + json.dumps({"gcups": round(gcups, 3)}), flush=True)
 
 
@@ -335,7 +354,11 @@ def main():
                     os.path.join(HERE, "scripts", "e2e_bench.py"),
                     "--reads", "40", "--backend", e2e_backend,
                 ],
-                capture_output=True, text=True, timeout=600,
+                capture_output=True, text=True,
+                # first pallas compile per bucket shape can take 10-25 min
+                # through the remote-compile tunnel; killing mid-compile
+                # caches nothing, so give the e2e room on a cold cache
+                timeout=int(os.environ.get("VECHAT_BENCH_E2E_TIMEOUT", "1800")),
             )
             for line in r.stdout.splitlines():
                 print(f"[bench:e2e] {line}", file=sys.stderr)
