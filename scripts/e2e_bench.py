@@ -47,7 +47,12 @@ def mutate(rng, seq, sub, ins, dele):
     out = _ACGT[code]
     is_del = (~is_sub) & (r < sub + dele)
     is_ins = rng.random(n) < ins
-    ins_base = rng.choice(_ACGT, size=n)
+    # real long-read insertions are homopolymer-dominated (the base repeats);
+    # random-base insertions would defeat HPC k-mers in a way real data
+    # doesn't
+    ins_base = np.where(
+        rng.random(n) < 0.7, out, rng.choice(_ACGT, size=n)
+    )
     # build: for each kept position emit base (+ optional inserted base)
     reps = np.where(is_del, 0, 1 + is_ins.astype(np.int64))
     total = int(reps.sum())
@@ -67,6 +72,13 @@ def main():
     ap.add_argument("--genome-len", type=int, default=6000)
     ap.add_argument("--read-len", type=int, default=2500)
     ap.add_argument("--error-rate", type=float, default=0.08)
+    ap.add_argument(
+        "--error-profile",
+        default="balanced",
+        choices=["balanced", "pb", "ont"],
+        help="(sub, ins, del) split of --error-rate: balanced=45/30/25, "
+        "pb=10/55/35 (CLR indel-dominated), ont=35/25/40",
+    )
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("-t", "--threads", type=int, default=1)
@@ -99,13 +111,19 @@ def main():
     strain_b = "".join(b)
 
     er = args.error_rate
+    PROFILES = {
+        "balanced": (0.45, 0.30, 0.25),
+        "pb": (0.10, 0.55, 0.35),
+        "ont": (0.35, 0.25, 0.40),
+    }
+    fsub, fins, fdel = PROFILES[args.error_profile]
     reads = []
     truth = []
     for i in range(args.reads):
         src = strain_a if i % 2 == 0 else strain_b
         start = int(rng.integers(0, max(1, len(src) - args.read_len)))
         frag = src[start : start + args.read_len]
-        data = mutate(rng, frag, er * 0.45, er * 0.3, er * 0.25)
+        data = mutate(rng, frag, er * fsub, er * fins, er * fdel)
         reads.append(SeqRecord(f"r{i}", data, "5" * len(data)))  # Q20
         truth.append((frag, src is strain_a, start))
 

@@ -104,7 +104,36 @@ def _build():
     ]
     lib.poa_load.restype = ctypes.c_void_p
     lib.layer_sort_order.argtypes = [_i32p, ctypes.c_int, _i32p]
+    lib.chain_clusters.argtypes = [
+        _i64p, _i64p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, _u8p, ctypes.POINTER(ctypes.c_float),
+    ]
     return lib
+
+
+def chain_clusters(cl, a_s, a_e, b_sgn, k: int, lookback: int = 32):
+    """Best-scoring colinear chain per diagonal cluster (minimap2-like DP,
+    csrc/poagraph.cpp:chain_clusters). Returns (keep uint8[m], score f32[m])
+    or None when the native lib is unavailable."""
+    import ctypes
+
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    cl = np.ascontiguousarray(cl, dtype=np.int64)
+    a_s = np.ascontiguousarray(a_s, dtype=np.int64)
+    a_e = np.ascontiguousarray(a_e, dtype=np.int64)
+    b_sgn = np.ascontiguousarray(b_sgn, dtype=np.int64)
+    m = len(cl)
+    keep = np.zeros(m, dtype=np.uint8)
+    score = np.zeros(m, dtype=np.float32)
+    lib.chain_clusters(
+        cl, a_s, a_e, b_sgn, m, k, lookback, keep,
+        score.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return keep, score
 
 
 def layer_sort_order(begins) -> "np.ndarray":

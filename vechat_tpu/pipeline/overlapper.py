@@ -124,6 +124,7 @@ class OverlapParams:
     min_overlap: int = 100
     platform: str = "pb"
     hpc: bool = False  # homopolymer-compressed k-mers (minimap2 ava-pb)
+    use_chain_dp: bool = True  # scored chain DP (native) vs greedy accept
 
     @classmethod
     def for_platform(cls, platform: str) -> "OverlapParams":
@@ -298,25 +299,44 @@ def find_overlaps(
     )
     cl = np.cumsum(new_cluster) - 1
 
-    # greedy colinear chain inside each cluster: anchors whose target
-    # position extends the running max (reverse strand: target descending in
-    # forward coords as query ascends -> chain on -b)
+    # colinear chain inside each cluster. Preferred: scored chaining DP
+    # (minimap2-like gap/drift costs, native C++ — csrc chain_clusters);
+    # fallback: greedy running-max accept set (reverse strand: target
+    # descending in forward coords as query ascends -> chain on -b).
     order2 = np.lexsort((a_s, cl))
     cl2 = cl[order2]
     mono = np.where(same[order2], b_s[order2], -b_s[order2])
-    cm = _seg_cummax(mono, cl2)
-    chained = mono >= cm  # equality <=> this anchor set the new running max
+    from ..ops.native_graph import chain_clusters as _native_chain
+
+    n_clusters_total = int(cl.max()) + 1
+    chained_dp = (
+        _native_chain(cl2, a_s[order2], a_e[order2], mono, k)
+        if params.use_chain_dp
+        else None
+    )
+    if chained_dp is not None:
+        keep_mask, cscore_flat = chained_dp
+        chained = keep_mask.astype(bool)
+        cluster_score = np.zeros(n_clusters_total, dtype=np.float32)
+        cluster_score[cl2] = cscore_flat  # any member carries the score
+    else:
+        cm = _seg_cummax(mono, cl2)
+        chained = mono >= cm  # equality <=> anchor set the new running max
+        cluster_score = None
 
     ci = cl2[chained]
-    csize = np.bincount(ci, minlength=int(cl.max()) + 1)
+    csize = np.bincount(ci, minlength=n_clusters_total)
 
-    # per-pair best cluster (score = chained anchors)
+    # per-pair best cluster (chain score when the DP ran, else anchor count)
     pair_of_cluster = np.cumsum(new_pair) - 1  # per anchor, pair index
     # cluster -> pair: take pair id at each cluster start
     cluster_starts = np.flatnonzero(new_cluster)
     cl_pair = pair_of_cluster[cluster_starts]
     n_cl = len(cluster_starts)
-    order3 = np.lexsort((csize[:n_cl], cl_pair))
+    rank_key = (
+        cluster_score[:n_cl] if cluster_score is not None else csize[:n_cl]
+    )
+    order3 = np.lexsort((rank_key, cl_pair))
     # last cluster per pair in this order has the max score
     last = np.empty(n_cl, dtype=bool)
     last[-1] = True
