@@ -91,3 +91,37 @@ def test_spoa_cli_strand_ambiguous(tmp_path, capsys):
     out = capsys.readouterr().out
     # with strand-ambiguity the consensus matches the forward sequence
     assert fwd in out
+
+
+def test_spoa_cli_pallas_backend_matches_host(tmp_path, capsys):
+    """Device engine (linear/affine/convex kernels) through the spoa CLI must
+    reproduce the host engine byte-for-byte (interpret mode on CPU)."""
+    import contextlib
+    import io
+
+    import vechat_tpu.cli.spoa_main as spoa_main
+    import vechat_tpu.ops.kernels.graph_engine as ge
+
+    fa = tmp_path / "in.fa"
+    fa.write_text(
+        ">a\nACGTACGTAGCTAGCATCGA\n>b\nACGTACGTAGCTAGCATCGA\n"
+        ">c\nACGTTACGTAGCTAGCTCGA\n"
+    )
+    outs = {}
+    orig = ge.PallasGraphEngine.__init__
+
+    def patched(self, *a, **k):
+        k["interpret"] = True
+        orig(self, *a, **k)
+
+    ge.PallasGraphEngine.__init__ = patched
+    try:
+        for be in ("host", "pallas"):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                spoa_main.main([str(fa), "--backend", be, "-r", "0", "-r", "1"])
+            outs[be] = buf.getvalue()
+    finally:
+        ge.PallasGraphEngine.__init__ = orig
+    assert outs["host"] == outs["pallas"]
+    assert ">Consensus" in outs["host"]

@@ -32,6 +32,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-r", "--result", type=int, action="append", default=None)
     p.add_argument("-d", "--dot", default=None)
     p.add_argument("-s", "--strand-ambiguous", action="store_true")
+    p.add_argument(
+        "--backend",
+        choices=["host", "pallas"],
+        default="host",
+        help="alignment engine: host oracle or device kernels "
+        "(linear/affine/convex all run on device)",
+    )
     return p
 
 
@@ -40,7 +47,19 @@ def main(argv=None) -> int:
     results = args.result if args.result else [0]
 
     records = read_fastx(args.sequences, shorten_names=True)
-    engine = make_engine(ALGO[args.algorithm], args.m, args.n, args.g, args.e)
+    # subtype selection needs all four gap params (alignment_engine.cpp:57-66)
+    if args.backend == "pallas":
+        from ..ops.kernels.graph_engine import PallasGraphEngine
+
+        engine = PallasGraphEngine(
+            ALGO[args.algorithm], args.m, args.n, args.g, args.e, args.q,
+            args.c,
+        )
+    else:
+        engine = make_engine(
+            ALGO[args.algorithm], args.m, args.n, args.g, args.e, args.q,
+            args.c,
+        )
 
     graph = PoaGraph()
     is_reversed = []
