@@ -358,7 +358,14 @@ class DevicePairwiseAligner:
         T, W = self.TILE_T + 1, self.TILE_W
         for off in range(0, len(device_jobs), 64 * DSUB):
             chunk = device_jobs[off : off + 64 * DSUB]
+            # pad B to a fixed ladder: a fresh B is a fresh XLA compile
+            # (~10 min through this machine's remote-compile tunnel), so
+            # unpadded tail chunks would recompile nearly every run
             B = (len(chunk) + DSUB - 1) // DSUB
+            for cand in (1, 2, 4, 8, 16, 32, 64):
+                if cand >= B:
+                    B = cand
+                    break
             tcodes = np.zeros((B, T, 1, DSUB), np.int32)
             tlen = np.ones((B, 1, DSUB), np.int32)
             qcodes = np.full((B, DSUB, W), 0xFF, np.int32)
