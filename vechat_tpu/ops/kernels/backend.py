@@ -222,9 +222,12 @@ class PallasAlignerBackend:
         from .poa_pallas import poa_align_pallas
 
         B = len(entries)
-        # pad B to a small set of sizes to bound compilation; multi-chip
+        # pad B to a SMALL ladder: every distinct B is a distinct XLA
+        # compile (~300 s each through this machine's remote-compile
+        # tunnel — measured scripts/prof_pipeline.py), and grid-step
+        # padding waste is bounded by the ladder ratio; multi-chip
         # batches must also divide by the mesh size (shard_map requirement)
-        for cand in (1, 2, 4, 8, 16, 32, 64, 128, 256):
+        for cand in (8, 64, 256):
             if cand >= B:
                 B_pad = cand
                 break

@@ -362,7 +362,7 @@ class DevicePairwiseAligner:
             # (~10 min through this machine's remote-compile tunnel), so
             # unpadded tail chunks would recompile nearly every run
             B = (len(chunk) + DSUB - 1) // DSUB
-            for cand in (1, 2, 4, 8, 16, 32, 64):
+            for cand in (8, 64):
                 if cand >= B:
                     B = cand
                     break
