@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Sharded-work proportionality + multi-process scaling measurement.
+
+Three measurements on one synthetic 2-strain dataset (host backend, CPU):
+  1. single full run wall                                (baseline)
+  2. --split K chunks, run SEQUENTIALLY in one process — total wall vs
+     baseline shows per-chunk work is ~1/K (not K x full recompute;
+     VERDICT r2 missing #3)
+  3. N concurrent processes (JAX_NUM_PROCESSES) — wall vs baseline shows
+     multi-process scaling efficiency on this machine's cores; rank0 output
+     byte-checked against the single run.
+
+Usage: python scripts/scaling_bench.py [--reads N] [--chunks K] [--procs N]
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, default=80)
+    ap.add_argument("--genome-len", type=int, default=12000)
+    ap.add_argument("--read-len", type=int, default=2500)
+    ap.add_argument("--error-rate", type=float, default=0.08)
+    ap.add_argument("--chunks", type=int, default=4)
+    ap.add_argument("--procs", type=int, default=2)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from scripts.e2e_bench import mutate, rand_seq
+    from vechat_tpu.io.fastx import SeqRecord, write_fastx
+
+    rng = np.random.default_rng(args.seed)
+    strain_a = rand_seq(rng, args.genome_len)
+    b = list(strain_a)
+    for p in rng.choice(
+        args.genome_len, size=args.genome_len // 100, replace=False
+    ):
+        b[p] = rng.choice([c for c in "ACGT" if c != b[p]])
+    strain_b = "".join(b)
+    er = args.error_rate
+    reads = []
+    for i in range(args.reads):
+        src = strain_a if i % 2 == 0 else strain_b
+        start = int(rng.integers(0, max(1, len(src) - args.read_len)))
+        frag = src[start : start + args.read_len]
+        reads.append(
+            SeqRecord(
+                f"r{i}",
+                mutate(rng, frag, er * 0.1, er * 0.55, er * 0.35),
+                "5" * 1,
+            )
+        )
+        reads[-1] = SeqRecord(reads[-1].name, reads[-1].data, "5" * len(reads[-1].data))
+
+    tmp = tempfile.mkdtemp(prefix="scaling_")
+    inp = os.path.join(tmp, "reads.fq")
+    write_fastx(reads, inp, fmt="fq")
+    env_base = dict(os.environ, JAX_PLATFORMS="cpu")
+
+    def run(outname, extra, env=None, timeout=3600):
+        outp = os.path.join(tmp, outname)
+        t0 = time.perf_counter()
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "vechat_tpu.cli.vechat_main", inp,
+                "-o", outp, "--platform", "ont", "--backend", "host",
+            ]
+            + extra,
+            capture_output=True, text=True, timeout=timeout,
+            env=env or env_base,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        dt = time.perf_counter() - t0
+        assert r.returncode == 0, r.stderr[-500:]
+        return outp, dt
+
+    out1, t_full = run("full.fa", [])
+    print(f"[scaling] single run: {t_full:.1f}s")
+
+    # fastq lines per read = 4; split-size is in LINES
+    lines_per_chunk = max(4, (args.reads // args.chunks) * 4)
+    out2, t_split = run(
+        "split.fa", ["--split", "--split-size", str(lines_per_chunk)]
+    )
+    with open(out1, "rb") as a, open(out2, "rb") as bfh:
+        same = a.read() == bfh.read()
+    print(
+        f"[scaling] --split x{args.chunks} sequential: {t_split:.1f}s "
+        f"(x{t_split / t_full:.2f} of single; byte-identical={same}) — "
+        f"per-chunk work ~1/{args.chunks} when the ratio stays ~1.0"
+    )
+    assert same, "--split output diverged from single run"
+
+    # concurrent multi-process
+    t0 = time.perf_counter()
+    procs = []
+    mp_out = os.path.join(tmp, "mp.fa")  # ranks coordinate via files next
+    # to the shared output path; rank 0 writes the merged result
+    for rank in range(args.procs):
+        env = dict(
+            env_base,
+            JAX_NUM_PROCESSES=str(args.procs),
+            JAX_PROCESS_ID=str(rank),
+        )
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, "-m", "vechat_tpu.cli.vechat_main", inp,
+                    "-o", mp_out, "--platform", "ont", "--backend", "host",
+                ],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                env=env,
+                cwd=os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__))
+                ),
+            )
+        )
+    for p in procs:
+        assert p.wait(timeout=3600) == 0
+    t_mp = time.perf_counter() - t0
+    with open(out1, "rb") as a, open(mp_out, "rb") as bfh:
+        same_mp = a.read() == bfh.read()
+    eff = t_full / (t_mp * 1)  # wall speedup vs single (1 machine)
+    print(
+        f"[scaling] {args.procs} concurrent processes: {t_mp:.1f}s "
+        f"(speedup x{t_full / t_mp:.2f}, efficiency "
+        f"{100 * t_full / t_mp / args.procs:.0f}% on {os.cpu_count()} cores; "
+        f"rank0 byte-identical={same_mp})"
+    )
+    assert same_mp, "multi-process rank0 output diverged"
+    _ = eff
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

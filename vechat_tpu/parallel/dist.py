@@ -171,10 +171,16 @@ def exchange_records(
     tags at the first whitespace)."""
     if group.num_processes == 1:
         return list(records)
-    import jax
+    # consult jax ONLY when the driver explicitly initialized
+    # jax.distributed (VECHAT_DIST_INIT=1, vechat_main.py): merely calling
+    # jax.process_count() initializes the platform backend — on this
+    # machine that means a ~60 s tunneled-TPU client handshake per process
+    # and a two-clients-on-one-chip hazard, just to pick a merge strategy
+    if os.environ.get("VECHAT_DIST_INIT") == "1":
+        import jax
 
-    if jax.process_count() == group.num_processes:
-        return allgather_records(records, group)
+        if jax.process_count() == group.num_processes:
+            return allgather_records(records, group)
 
     mypath = f"{prefix}.shard{group.process_id:05d}"
     write_records_blob(records, mypath)
