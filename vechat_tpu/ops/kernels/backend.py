@@ -61,6 +61,13 @@ class PallasAlignerBackend:
         self.fallbacks = 0
         self.device_alignments = 0
         self.cell_updates = 0
+        # stage timers (observability: where does align_batch wall go?)
+        self.t_pack = 0.0  # dense conversion + batch array fill
+        self.t_device = 0.0  # dispatch + device execution + fetch
+        self.t_decode = 0.0  # pairs -> Alignment decode
+        self.t_host_fb = 0.0  # host-fallback alignments
+        self.n_dispatches = 0
+        self.n_calls = 0
         self._dense_cache: Dict[Tuple[int, int, int], Optional[dict]] = {}
         self._pairwise = None
         # multi-chip: shard window batches across the local mesh
@@ -131,11 +138,17 @@ class PallasAlignerBackend:
     def align_batch(
         self, items: Sequence[Tuple[np.ndarray, PoaGraph, str]]
     ) -> List[Alignment]:
+        import time as _time
+
+        self.n_calls += 1
         if not self.interpret and len(items) < self.MIN_DEVICE_ITEMS:
-            return [
+            _t0 = _time.perf_counter()
+            out = [
                 [] if (g.num_nodes() == 0 or len(c) == 0) else self._host_align(c, g, m)
                 for c, g, m in items
             ]
+            self.t_host_fb += _time.perf_counter() - _t0
+            return out
         results: List[Optional[Alignment]] = [None] * len(items)
         # cache is only safe within one call: graph objects mutate between
         # calls and ids can be recycled by the GC
@@ -201,10 +214,15 @@ class PallasAlignerBackend:
                     self.fallbacks += 1
                     results[i] = self._host_align(items[i][0], graph, mode)
 
+        # two phases: dispatch every chunk (async — jax returns device
+        # arrays immediately), THEN fetch+decode. Overlapping the h2d of
+        # chunk i+1 with the execute/d2h of chunk i hides part of the
+        # ~10 MB/s tunnel's transfer time.
+        pending = []
         for (mode, nb, pb, wb, dcap, rb), entries in buckets.items():
             max_b = max(1, DIR_HBM_BUDGET // ((nb + 1 + 63) * dcap * wb * 2))
             for off in range(0, len(entries), max_b):
-                self._run_chunk(
+                p = self._run_chunk(
                     items,
                     results,
                     entries[off : off + max_b],
@@ -215,6 +233,10 @@ class PallasAlignerBackend:
                     dcap,
                     rb,
                 )
+                if p is not None:
+                    pending.append(p)
+        for p in pending:
+            self._finish_chunk(items, results, p)
 
         return results  # type: ignore
 
@@ -236,12 +258,18 @@ class PallasAlignerBackend:
         if self._n_dev > 1:
             B_pad = -(-B_pad // self._n_dev) * self._n_dev
 
-        codes = np.zeros((B_pad, 1, nb), np.int32)
-        preds = np.zeros((B_pad, pb, nb), np.int32)
-        sink = np.ones((B_pad, 1, nb), np.int32)
-        nid = np.zeros((B_pad, 1, nb), np.int32)
+        import time as _time
+
+        _t0 = _time.perf_counter()
+        # int16 wire dtypes (values bounded by nb < 2048): the tunnel to
+        # this machine's TPU moves ~10 MB/s, so input bytes ARE the
+        # dispatch cost; the kernel wrapper upcasts on device
+        codes = np.zeros((B_pad, 1, nb), np.int16)
+        preds = np.zeros((B_pad, pb, nb), np.int16)
+        sink = np.ones((B_pad, 1, nb), np.int16)
+        nid = np.zeros((B_pad, 1, nb), np.int16)
         nn = np.ones((B_pad, 1, 1), np.int32)
-        seqp = np.full((B_pad, dcap, wb), 0xFF, np.int32)
+        seqp = np.full((B_pad, dcap, wb), 0xFF, np.int16)
         seqp[:, :, 1] = 0
         slen = np.ones((B_pad, 1, dcap), np.int32)
 
@@ -266,7 +294,9 @@ class PallasAlignerBackend:
             packed.append((b, idxs))
 
         if not packed:
-            return
+            return None
+        self.t_pack += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         m, x, g = self._scores(mode)
         args = (
             jnp.asarray(codes),
@@ -290,9 +320,20 @@ class PallasAlignerBackend:
                 ring=rb,
                 emit_node_ids=False,
             )
+        self.t_device += _time.perf_counter() - _t0
+        self.n_dispatches += 1
+        return (pn, pp, count, nid, nn, slen, packed)
+
+    def _finish_chunk(self, items, results, pending):
+        import time as _time
+
+        pn, pp, count, nid, nn, slen, packed = pending
+        _t0 = _time.perf_counter()
         pn = np.asarray(pn)
         pp = np.asarray(pp)
         count = np.asarray(count)
+        self.t_device += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         L = pn.shape[2]
         from .poa_pallas import ranks_to_node_ids_np
 
@@ -305,3 +346,4 @@ class PallasAlignerBackend:
                 results[i] = aln
                 self.device_alignments += 1
                 self.cell_updates += int(nn[b, 0, 0]) * int(slen[b, 0, di])
+        self.t_decode += _time.perf_counter() - _t0

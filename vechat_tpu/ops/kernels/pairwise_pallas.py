@@ -140,12 +140,18 @@ def _kernel(
 
 
 def _pairwise_nw_pallas_impl(
-    tcodes,  # [B, T, 1, DSUB] int32
+    tcodes,  # [B, T, 1, DSUB] any int dtype (upcast on device)
     tlen,  # [B, 1, DSUB] int32
-    qcodes,  # [B, DSUB, W] int32
+    qcodes,  # [B, DSUB, W] any int dtype
     qlen,  # [B, 1, DSUB] int32
     interpret: bool = False,
 ):
+    # narrow wire dtypes: the ~10 MB/s device tunnel makes input bytes the
+    # dispatch cost; int16 is safe for codes (pad 0xFF stays distinct)
+    tcodes = tcodes.astype(jnp.int32)
+    qcodes = qcodes.astype(jnp.int32)
+    tlen = tlen.astype(jnp.int32)
+    qlen = qlen.astype(jnp.int32)
     B, T = tcodes.shape[0], tcodes.shape[1]
     W = qcodes.shape[2]
     L = T + W
@@ -183,9 +189,22 @@ def _pairwise_nw_pallas_impl(
     )(tcodes, tlen, qcodes, qlen)
 
 
+def _pairwise_nw_pallas_wire(tcodes, tlen, qcodes, qlen, interpret=False):
+    """int16-out variant: pair paths downcast before the fetch (values are
+    bounded by T and W)."""
+    pt, pq, count, dist = _pairwise_nw_pallas_impl(
+        tcodes, tlen, qcodes, qlen, interpret=interpret
+    )
+    return pt.astype(jnp.int16), pq.astype(jnp.int16), count, dist
+
+
 _pairwise_nw_pallas_jit = functools.partial(jax.jit, static_argnames=("interpret",))(
     _pairwise_nw_pallas_impl
 )
+
+_pairwise_nw_pallas_wire_jit = functools.partial(
+    jax.jit, static_argnames=("interpret",)
+)(_pairwise_nw_pallas_wire)
 
 
 def pairwise_nw_pallas(*args, interpret: bool = False):
@@ -289,15 +308,26 @@ class DevicePairwiseAligner:
         self.interpret = interpret
         self.device_tiles = 0
         self.host_fallbacks = 0
+        self.t_tile = 0.0  # anchors + cut points + tile assembly
+        self.t_device = 0.0  # dispatch + execute + fetch
+        self.t_host = 0.0  # host-fallback tiles/pairs
+        self.t_asm = 0.0  # ops -> CIGAR assembly
+        self.n_dispatches = 0
 
     MIN_DEVICE_PAIRS = 8
 
     def edit_align_batch(self, pairs: Sequence[Tuple[np.ndarray, np.ndarray]]):
+        import time as _time
+
         from ..pairwise import edit_align, ops_to_cigar
 
         if not self.interpret and len(pairs) < self.MIN_DEVICE_PAIRS:
-            return [edit_align(np.asarray(q), np.asarray(t)) for q, t in pairs]
+            _t0 = _time.perf_counter()
+            out = [edit_align(np.asarray(q), np.asarray(t)) for q, t in pairs]
+            self.t_host += _time.perf_counter() - _t0
+            return out
 
+        _t0 = _time.perf_counter()
         # 1. tile every pair
         jobs = []  # (pair idx, tile order, q_sub, t_sub) or host marker
         results_ops: List[List[Optional[List[str]]]] = []
@@ -321,24 +351,33 @@ class DevicePairwiseAligner:
             for ti, (qs, ts) in enumerate(tiles):
                 jobs.append((pi, ti, qs, ts))
 
+        self.t_tile += _time.perf_counter() - _t0
+
         # 2. run device tiles in DSUB-packed batches
         self._run_tiles(jobs, results_ops)
 
         # 3. assemble CIGARs
+        _t0 = _time.perf_counter()
         out = []
         for pi, (q, t) in enumerate(pairs):
             if results_ops[pi] is None:
+                _th = _time.perf_counter()
                 out.append(edit_align(np.asarray(q), np.asarray(t)))
+                self.t_host += _time.perf_counter() - _th
                 continue
             ops: List[str] = []
             for tile_ops in results_ops[pi]:
                 ops.extend(tile_ops)
             out.append(ops_to_cigar(ops))
+        self.t_asm += _time.perf_counter() - _t0
         return out
 
     def _run_tiles(self, jobs, results_ops):
+        import time as _time
+
         from ..pairwise import _full_dp_cigar
 
+        _t0 = _time.perf_counter()
         device_jobs = []
         for job in jobs:
             pi, ti, qs, ts = job
@@ -354,21 +393,24 @@ class DevicePairwiseAligner:
                 )
             else:
                 device_jobs.append(job)
+        self.t_host += _time.perf_counter() - _t0
 
         T, W = self.TILE_T + 1, self.TILE_W
+        # phase 1: dispatch every chunk (async); phase 2: fetch + decode.
+        # int16 wire dtypes + overlap hide part of the ~10 MB/s tunnel.
+        pending = []
         for off in range(0, len(device_jobs), 64 * DSUB):
             chunk = device_jobs[off : off + 64 * DSUB]
-            # pad B to a fixed ladder: a fresh B is a fresh XLA compile
-            # (~10 min through this machine's remote-compile tunnel), so
-            # unpadded tail chunks would recompile nearly every run
+            # pad B to a fixed ladder: a fresh B is a fresh XLA compile,
+            # so unpadded tail chunks would recompile nearly every run
             B = (len(chunk) + DSUB - 1) // DSUB
             for cand in (8, 64):
                 if cand >= B:
                     B = cand
                     break
-            tcodes = np.zeros((B, T, 1, DSUB), np.int32)
+            tcodes = np.zeros((B, T, 1, DSUB), np.int16)
             tlen = np.ones((B, 1, DSUB), np.int32)
-            qcodes = np.full((B, DSUB, W), 0xFF, np.int32)
+            qcodes = np.full((B, DSUB, W), 0xFF, np.int16)
             qcodes[:, :, 1] = 0
             qlen = np.ones((B, 1, DSUB), np.int32)
             tcodes[:, 0, 0, :] = 0
@@ -378,17 +420,26 @@ class DevicePairwiseAligner:
                 tlen[b, 0, d] = len(ts)
                 qcodes[b, d, 1 : 1 + len(qs)] = qs
                 qlen[b, 0, d] = len(qs)
-            pt, pq, count, _ = pairwise_nw_pallas(
+            _td = _time.perf_counter()
+            pt, pq, count, _ = _pairwise_nw_pallas_wire_jit(
                 jnp.asarray(tcodes),
                 jnp.asarray(tlen),
                 jnp.asarray(qcodes),
                 jnp.asarray(qlen),
                 interpret=self.interpret,
             )
+            self.t_device += _time.perf_counter() - _td
+            self.n_dispatches += 1
+            pending.append((chunk, pt, pq, count))
+
+        for chunk, pt, pq, count in pending:
+            _td = _time.perf_counter()
             pt = np.asarray(pt)
             pq = np.asarray(pq)
             count = np.asarray(count)
+            self.t_device += _time.perf_counter() - _td
             L = pt.shape[2]
+            _ta = _time.perf_counter()
             for n, (pi, ti, qs, ts) in enumerate(chunk):
                 b, d = divmod(n, DSUB)
                 c = int(count[b, 0, d])
@@ -397,3 +448,4 @@ class DevicePairwiseAligner:
                 ops = np.where(tp == -1, "I", np.where(qp == -1, "D", "M"))
                 results_ops[pi][ti] = ops.tolist()
                 self.device_tiles += 1
+            self.t_asm += _time.perf_counter() - _ta

@@ -393,13 +393,13 @@ def _ranks_to_node_ids(pn, node_id):
     test shapes, production callers decode on host with ranks_to_node_ids)."""
     B, D, L = pn.shape
     nid = node_id[:, 0, :]  # [B, N]
-    safe = jnp.maximum(pn, 0)
+    safe = jnp.maximum(pn, 0).astype(jnp.int32)
     mapped = jnp.take_along_axis(
         nid[:, None, :].repeat(D, axis=1).reshape(B * D, -1),
         safe.reshape(B * D, L),
         axis=1,
     ).reshape(B, D, L)
-    return jnp.where(pn >= 0, mapped, pn)
+    return jnp.where(pn >= 0, mapped, pn.astype(jnp.int32))
 
 
 def ranks_to_node_ids_np(pn: np.ndarray, node_id_row: np.ndarray) -> np.ndarray:
@@ -531,9 +531,22 @@ def _poa_align_pallas_impl(
     ring: int = 0,
     emit_node_ids: bool = True,
 ):
-    """Returns (pairs_node [B,D,L], pairs_pos [B,D,L], count [B,1,D],
-    score [B,1,D]). With emit_node_ids=False, pairs_node holds DP ranks
-    (decode on host with ranks_to_node_ids_np — skips a [B,D,L] gather)."""
+    """Returns (pairs_node [B,D,L] int16, pairs_pos [B,D,L] int16,
+    count [B,1,D], score [B,1,D]). With emit_node_ids=False, pairs_node
+    holds DP ranks (decode on host with ranks_to_node_ids_np — skips a
+    [B,D,L] gather).
+
+    Wire-size note: this machine reaches its TPU through a ~10 MB/s tunnel,
+    so every input upcasts from the narrowest dtype that fits (int16 graph
+    tensors, int16 sequences) on DEVICE, and the pair outputs downcast to
+    int16 before the fetch — values are bounded by N < 2048 and W."""
+    codes = codes.astype(jnp.int32)
+    preds = preds.astype(jnp.int32)
+    sink = sink.astype(jnp.int32)
+    node_id = node_id.astype(jnp.int32)
+    n_nodes = n_nodes.astype(jnp.int32)
+    seqp = seqp.astype(jnp.int32)
+    seq_len = seq_len.astype(jnp.int32)
     B, _, N = codes.shape
     P = preds.shape[1]
     D, W = seqp.shape[1], seqp.shape[2]
@@ -544,15 +557,20 @@ def _poa_align_pallas_impl(
         align_type, m, x, g, interpret=interpret, ring=ring,
     )
     if dp_only:
-        pn = jnp.full((B, D, L), -2, jnp.int32)
-        pp = jnp.full((B, D, L), -2, jnp.int32)
+        pn = jnp.full((B, D, L), -2, jnp.int16)
+        pp = jnp.full((B, D, L), -2, jnp.int16)
         count = jnp.zeros((B, 1, D), jnp.int32)
         return pn, pp, count, score
 
     pn, pp, count = _traceback_walk(dirs, maxi, maxj, align_type, L, P)
     if emit_node_ids:
         pn = _ranks_to_node_ids(pn, node_id)
-    return pn, pp, count[:, None, :], score
+    return (
+        pn.astype(jnp.int16),
+        pp.astype(jnp.int16),
+        count[:, None, :],
+        score,
+    )
 
 
 _poa_align_pallas_jit = functools.partial(

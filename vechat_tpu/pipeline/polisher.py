@@ -359,6 +359,15 @@ class Polisher:
         cigars = self._align_pairs_batch(pairs)
         for ov, cigar in zip(need, cigars):
             ov.cigar = cigar
+        pw = getattr(self.backend, "_pairwise", None)
+        if pw is not None and getattr(pw, "n_dispatches", 0):
+            print(
+                f"[vechat_tpu::align] pairwise stages: tile {pw.t_tile:.1f}s"
+                f" | device {pw.t_device:.1f}s ({pw.n_dispatches} dispatches,"
+                f" {pw.device_tiles} tiles) | host {pw.t_host:.1f}s "
+                f"({pw.host_fallbacks} fb) | asm {pw.t_asm:.1f}s",
+                file=self.logger.stream,
+            )
 
         from .windows import _pmap
 
@@ -441,4 +450,13 @@ class Polisher:
                 f"({be.cell_updates / elapsed / 1e9:.3g} GCUPS aggregate)",
                 file=log.stream,
             )
+            if getattr(be, "n_dispatches", 0):
+                print(
+                    f"[vechat_tpu::polish] backend stages: "
+                    f"pack {be.t_pack:.1f}s | device {be.t_device:.1f}s "
+                    f"({be.n_dispatches} dispatches) | decode "
+                    f"{be.t_decode:.1f}s | host-fb {be.t_host_fb:.1f}s "
+                    f"({be.n_calls} calls)",
+                    file=log.stream,
+                )
         return dst
