@@ -261,6 +261,16 @@ class PallasAlignerBackend:
         import time as _time
 
         _t0 = _time.perf_counter()
+        # D sized to the chunk's real item count, not the VMEM cap: the
+        # incremental build phase carries ~1 sequence per graph per call,
+        # and padded D lanes multiply BOTH the seqp upload and the pn/pp
+        # pair-buffer fetch (at dcap=48 the padding was ~96% of the bytes)
+        d_used = max(len(idxs) for _, idxs in entries)
+        for dl in (1, 2, 4, 8, 16, 32):
+            if dl >= d_used:
+                d_used = dl
+                break
+        dcap = min(d_used, dcap)
         # int16 wire dtypes (values bounded by nb < 2048): the tunnel to
         # this machine's TPU moves ~10 MB/s, so input bytes ARE the
         # dispatch cost; the kernel wrapper upcasts on device

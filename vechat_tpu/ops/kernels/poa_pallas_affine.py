@@ -528,6 +528,14 @@ def _poa_align_pallas_affine_impl(
     interpret: bool = False, dp_only: bool = False, ring: int = 0,
     emit_node_ids: bool = True,
 ):
+    # narrow wire dtypes upcast on device (tunnel bandwidth, see poa_pallas)
+    codes = codes.astype(jnp.int32)
+    preds = preds.astype(jnp.int32)
+    sink = sink.astype(jnp.int32)
+    node_id = node_id.astype(jnp.int32)
+    n_nodes = n_nodes.astype(jnp.int32)
+    seqp = seqp.astype(jnp.int32)
+    seq_len = seq_len.astype(jnp.int32)
     B, _, N = codes.shape
     P = preds.shape[1]
     D, W = seqp.shape[1], seqp.shape[2]

@@ -597,6 +597,14 @@ def _poa_align_pallas_convex_impl(
     align_type, m, x, g, e, q, c,
     interpret=False, dp_only=False, ring=0, emit_node_ids=True,
 ):
+    # narrow wire dtypes upcast on device (tunnel bandwidth, see poa_pallas)
+    codes = codes.astype(jnp.int32)
+    preds = preds.astype(jnp.int32)
+    sink = sink.astype(jnp.int32)
+    node_id = node_id.astype(jnp.int32)
+    n_nodes = n_nodes.astype(jnp.int32)
+    seqp = seqp.astype(jnp.int32)
+    seq_len = seq_len.astype(jnp.int32)
     B, _, N = codes.shape
     P = preds.shape[1]
     D, W = seqp.shape[1], seqp.shape[2]
