@@ -288,6 +288,16 @@ def run_round_targets(
         tnames = {t.name for t in targets}
         overlaps = [ov for ov in overlaps if ov.t_name in tnames]
 
+    if not overlaps:
+        # a chunk whose targets attracted no overlaps after filtering (thin
+        # coverage): nothing can be polished — matches racon's default
+        # drop-unpolished semantics instead of failing the whole run
+        logger.log(
+            f"round {iteration}: no overlaps for this chunk; "
+            f"{len(targets)} targets left unpolished"
+        )
+        return []
+
     from .racon_main import make_backend
 
     polisher = Polisher(
