@@ -86,47 +86,55 @@ struct Graph {
     return static_cast<int>(codes.size()) - (end - begin);
   }
 
+  // Rank order = DFS post-order over predecessor dependencies with
+  // aligned-bundle grouping: a bundle's representative emits itself plus
+  // its whole aligned ring contiguously, and ring members scheduled as part
+  // of a bundle never emit on their own. The EMISSION ORDER must match the
+  // reference engine's exactly — DP row order IS the rank order, so
+  // byte-parity of every downstream alignment depends on it (verified by
+  // the native-vs-oracle order tests and scripts/diff_reference.py).
   void topological_sort() {
-    int n = static_cast<int>(codes.size());
+    const int n = static_cast<int>(codes.size());
     rank_to_node.clear();
     rank_to_node.reserve(n);
-    std::vector<uint8_t> marks(n, 0);
-    std::vector<uint8_t> ignored(n, 0);
-    std::vector<int> stack;
-    for (int start = 0; start < n; ++start) {
-      if (marks[start] != 0) continue;
-      stack.push_back(start);
-      while (!stack.empty()) {
-        int curr = stack.back();
-        bool is_valid = true;
-        if (marks[curr] != 2) {
-          for (int ei : inedges[curr]) {
-            int t = edges[ei].tail;
-            if (marks[t] != 2) {
-              stack.push_back(t);
-              is_valid = false;
+    std::vector<uint8_t> emitted(n, 0);
+    std::vector<uint8_t> in_bundle(n, 0);  // scheduled via an aligned ring
+    // work stack of (node, revisit-phase) pairs; a node is expanded on its
+    // first visit (phase 0) and re-examined after its dependencies (phase 1)
+    std::vector<std::pair<int, uint8_t>> work;
+    for (int root = 0; root < n; ++root) {
+      if (emitted[root] || in_bundle[root]) continue;
+      work.emplace_back(root, 0);
+      while (!work.empty()) {
+        const int node = work.back().first;
+        const bool revisit = work.back().second != 0;
+        if (emitted[node]) {
+          work.pop_back();
+          continue;
+        }
+        // collect still-unmet dependencies: predecessor tails, then (for a
+        // bundle representative) the aligned ring, claiming ring members
+        size_t before = work.size();
+        if (!revisit) work.back().second = 1;
+        for (int ei : inedges[node]) {
+          const int dep = edges[ei].tail;
+          if (!emitted[dep]) work.emplace_back(dep, 0);
+        }
+        if (!in_bundle[node]) {
+          for (int ring : aligned[node]) {
+            if (!emitted[ring]) {
+              work.emplace_back(ring, 0);
+              in_bundle[ring] = 1;
             }
-          }
-          if (!ignored[curr]) {
-            for (int a : aligned[curr]) {
-              if (marks[a] != 2) {
-                stack.push_back(a);
-                ignored[a] = 1;
-                is_valid = false;
-              }
-            }
-          }
-          if (is_valid) {
-            marks[curr] = 2;
-            if (!ignored[curr]) {
-              rank_to_node.push_back(curr);
-              for (int a : aligned[curr]) rank_to_node.push_back(a);
-            }
-          } else {
-            marks[curr] = 1;
           }
         }
-        if (is_valid) stack.pop_back();
+        if (work.size() != before) continue;  // dependencies first
+        emitted[node] = 1;
+        if (!in_bundle[node]) {
+          rank_to_node.push_back(node);
+          for (int ring : aligned[node]) rank_to_node.push_back(ring);
+        }
+        work.pop_back();
       }
     }
   }
