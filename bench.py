@@ -306,6 +306,7 @@ def main():
 
     sanity_timeout = int(os.environ.get("VECHAT_BENCH_SANITY_TIMEOUT", "240"))
     best = 0.0
+    samples = []  # every measurement of the largest completed stage
     ok = _sub(["--sanity"], sanity_timeout) is not None
     if not ok:
         print(
@@ -328,10 +329,12 @@ def main():
                 break
             best = max(best, float(res.get("gcups", 0.0)))
             last_ok = (name, B, N, P, D, W, K, timeout)
+            samples = [float(res.get("gcups", 0.0))]
         # the tunneled device's throughput varies by phase (remote-side;
         # observed 2-62 s for the same sanity matmul) — repeat the largest
-        # completed stage and keep the best so one slow phase can't sink
-        # the tracked metric
+        # completed stage so one slow phase can't sink the tracked metric.
+        # Best AND median across repeats are both recorded (best-of-N is
+        # upward-biased; the median shows typical throughput honestly)
         repeats = int(os.environ.get("VECHAT_BENCH_REPEATS", "2"))
         for _ in range(max(0, repeats - 1)):
             if last_ok is None:
@@ -342,8 +345,10 @@ def main():
                 timeout,
             )
             if res is not None:
-                best = max(best, float(res.get("gcups", 0.0)))
+                samples.append(float(res.get("gcups", 0.0)))
+                best = max(best, samples[-1])
 
+    median = float(np.median(samples)) if samples else 0.0
     # the ONE tracked JSON line goes out before the optional e2e side
     # metrics so a slow first-compile there can never sink the metric
     print(
@@ -353,6 +358,9 @@ def main():
                 "value": round(best, 3),
                 "unit": "GCUPS",
                 "vs_baseline": round(best / BASELINE_GCUPS, 3),
+                "median": round(median, 3),
+                "repeats": len(samples),
+                "samples": [round(s, 3) for s in samples],
             }
         ),
         flush=True,

@@ -978,12 +978,13 @@ int pw_align(const uint8_t* q, int lq, const uint8_t* t, int lt,
 // score (written at every anchor of the cluster for easy host reduction).
 //
 // cl:      [m] ascending cluster id per anchor
-// a_s/a_e: [m] query start/end of anchor (k-mer span on read A)
+// a_s:     [m] query start of anchor (every anchor spans exactly k bases,
+//          so the query end is implicit: a_s + k)
 // b_sgn:   [m] signed target pos: +b_s on same strand, -b_s on opposite
 //          (colinear predecessors must have smaller signed value)
 // k:       k-mer length
 // lookback: max predecessors examined per anchor (minimap2 uses 25-64)
-int chain_clusters(const int64_t* cl, const int64_t* a_s, const int64_t* a_e,
+int chain_clusters(const int64_t* cl, const int64_t* a_s,
                    const int64_t* b_sgn, int64_t m, int k, int lookback,
                    uint8_t* out_keep, float* out_score) {
   if (m <= 0) return 0;

@@ -291,11 +291,22 @@ def run_round_targets(
     if not overlaps:
         # a chunk whose targets attracted no overlaps after filtering (thin
         # coverage): nothing can be polished — matches racon's default
-        # drop-unpolished semantics instead of failing the whole run
+        # drop-unpolished semantics instead of failing the whole run. With
+        # -u/--include-unpolished the targets pass through unpolished with
+        # the same header tags polish() would emit for a zero-coverage read
+        # (reference: racon -u keeps unpolished sequences, src/main.cpp:86-88)
         logger.log(
             f"round {iteration}: no overlaps for this chunk; "
             f"{len(targets)} targets left unpolished"
         )
+        if args.include_unpolished:
+            return [
+                SeqRecord(
+                    name=f"{t.name}r LN:i:{len(t.data)} RC:i:0 XC:f:0.000000",
+                    data=t.data,
+                )
+                for t in targets
+            ]
         return []
 
     from .racon_main import make_backend

@@ -29,6 +29,7 @@ _LIB = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_poagraph_nativ
 _lock = threading.Lock()
 _lib = None
 _failed = False
+_warned_sort_fallback = False
 
 _i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
 _u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
@@ -105,16 +106,17 @@ def _build():
     lib.poa_load.restype = ctypes.c_void_p
     lib.layer_sort_order.argtypes = [_i32p, ctypes.c_int, _i32p]
     lib.chain_clusters.argtypes = [
-        _i64p, _i64p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int,
+        _i64p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int,
         ctypes.c_int, _u8p, ctypes.POINTER(ctypes.c_float),
     ]
     return lib
 
 
-def chain_clusters(cl, a_s, a_e, b_sgn, k: int, lookback: int = 32):
+def chain_clusters(cl, a_s, b_sgn, k: int, lookback: int = 32):
     """Best-scoring colinear chain per diagonal cluster (minimap2-like DP,
     csrc/poagraph.cpp:chain_clusters). Returns (keep uint8[m], score f32[m])
-    or None when the native lib is unavailable."""
+    or None when the native lib is unavailable. Anchor extent is implicit:
+    every anchor spans exactly k bases, so only query starts are needed."""
     import ctypes
 
     import numpy as np
@@ -124,13 +126,12 @@ def chain_clusters(cl, a_s, a_e, b_sgn, k: int, lookback: int = 32):
         return None
     cl = np.ascontiguousarray(cl, dtype=np.int64)
     a_s = np.ascontiguousarray(a_s, dtype=np.int64)
-    a_e = np.ascontiguousarray(a_e, dtype=np.int64)
     b_sgn = np.ascontiguousarray(b_sgn, dtype=np.int64)
     m = len(cl)
     keep = np.zeros(m, dtype=np.uint8)
     score = np.zeros(m, dtype=np.float32)
     lib.chain_clusters(
-        cl, a_s, a_e, b_sgn, m, k, lookback, keep,
+        cl, a_s, b_sgn, m, k, lookback, keep,
         score.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return keep, score
@@ -141,12 +142,25 @@ def layer_sort_order(begins) -> "np.ndarray":
     of rank[1:] by layer begin (src/window.cpp:97,210) via the native
     libstdc++ sort — byte-parity with the reference binary depends on the
     tie order of equal-begin layers. Falls back to a stable argsort when
-    the native lib is unavailable (documented parity gap)."""
+    the native lib is unavailable (documented parity gap; warned once so
+    machines without the .so can't silently diverge from goldens)."""
     import numpy as np
 
     begins = np.ascontiguousarray(begins, dtype=np.int32)
     lib = get_lib()
     if lib is None:
+        global _warned_sort_fallback
+        if not _warned_sort_fallback:
+            _warned_sort_fallback = True
+            import sys
+
+            print(
+                "[vechat_tpu::native_graph] WARNING: native lib unavailable; "
+                "layer_sort_order falling back to stable argsort — equal-begin "
+                "layer tie order (and thus consensus bytes) may differ from "
+                "the reference binary on this machine",
+                file=sys.stderr,
+            )
         return np.argsort(begins, kind="stable").astype(np.int32)
     out = np.empty(len(begins), dtype=np.int32)
     lib.layer_sort_order(begins, len(begins), out)

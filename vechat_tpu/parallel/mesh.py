@@ -125,15 +125,3 @@ def sharded_poa_align_pallas(
             check_vma=False,
         )
     )
-
-
-def pad_batch_to(mesh: Mesh, arrays: dict, b: int) -> dict:
-    """Pad the leading batch dim of every array to `b` (with safe trivial
-    entries assumed pre-filled by the caller)."""
-    out = {}
-    for k, v in arrays.items():
-        pad = b - v.shape[0]
-        if pad > 0:
-            v = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
-        out[k] = v
-    return out

@@ -310,7 +310,7 @@ def find_overlaps(
 
     n_clusters_total = int(cl.max()) + 1
     chained_dp = (
-        _native_chain(cl2, a_s[order2], a_e[order2], mono, k)
+        _native_chain(cl2, a_s[order2], mono, k)
         if params.use_chain_dp
         else None
     )

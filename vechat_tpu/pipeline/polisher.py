@@ -356,7 +356,22 @@ class Polisher:
             t = self.sequences[ov.t_id].data[ov.t_begin : ov.t_end]
             pairs.append((encode(q), encode(t)))
 
-        cigars = self._align_pairs_batch(pairs)
+        # 20-bin progress over the hot alignment loop, ticked per processed
+        # chunk (reference: src/polisher.cpp:477-488 ticks per future)
+        from ..utils.logger import PhaseBar
+
+        bar = PhaseBar(
+            self.logger,
+            "[vechat_tpu::Polisher::initialize] aligning overlaps",
+            len(pairs),
+        )
+        cigars: List[str] = []
+        chunk = max(1, (len(pairs) + 19) // 20)
+        for off in range(0, len(pairs), chunk):
+            cigars.extend(self._align_pairs_batch(pairs[off : off + chunk]))
+            bar.step(min(chunk, len(pairs) - off))
+        if pairs:
+            bar.finish()
         for ov, cigar in zip(need, cigars):
             ov.cigar = cigar
         pw = getattr(self.backend, "_pairwise", None)
@@ -402,6 +417,15 @@ class Polisher:
         """reference: src/polisher.cpp:491-562."""
         log = self.logger
         log.tick()
+        from ..utils.logger import PhaseBar
+
+        max_layers = max((len(w.layers) for w in self.windows), default=0)
+        bar = PhaseBar(
+            log,
+            "[vechat_tpu::Polisher::polish] generating consensus",
+            # units: build layer steps + prune rounds + final emit
+            max_layers + (self.num_prune + 1 if self.haplotype else 1),
+        )
         if self.haplotype:
             generate_consensus_haplotype(
                 self.windows,
@@ -410,11 +434,17 @@ class Polisher:
                 self.min_support,
                 self.num_prune,
                 threads=self.threads,
+                progress=bar.step,
             )
         else:
             generate_consensus_linear(
-                self.windows, self.backend, self.trim, threads=self.threads
+                self.windows,
+                self.backend,
+                self.trim,
+                threads=self.threads,
+                progress=bar.step,
             )
+        bar.finish()
 
         dst: List[SeqRecord] = []
         polished_data: List[str] = []

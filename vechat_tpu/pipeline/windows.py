@@ -149,6 +149,7 @@ def _build_phase(
     backend,
     collect_weight: bool,
     threads: int = 1,
+    progress=None,
 ) -> Tuple[List[PoaGraph], List[float], List[List[int]]]:
     """Incremental POA build over all windows in lockstep layer steps.
     Returns (graphs, total_bases_weight per window, layer order per window).
@@ -208,6 +209,8 @@ def _build_phase(
         if collect_weight:
             for (wi, _, _), a in zip(meta, added):
                 totals[wi] += a
+        if progress is not None:
+            progress()
 
     return graphs, totals, orders
 
@@ -217,6 +220,7 @@ def generate_consensus_linear(
     backend,
     trim: bool,
     threads: int = 1,
+    progress=None,
 ) -> None:
     """Round-2 racon consensus over a batch of windows
     (reference: src/window.cpp:74-174)."""
@@ -230,7 +234,10 @@ def generate_consensus_linear(
     if not active:
         return
 
-    graphs, _, _ = _build_phase(active, backend, collect_weight=False, threads=threads)
+    graphs, _, _ = _build_phase(
+        active, backend, collect_weight=False, threads=threads,
+        progress=progress,
+    )
 
     def consensus_one(arg):
         w, g = arg
@@ -251,6 +258,8 @@ def generate_consensus_linear(
         w.polished = True
 
     _pmap(consensus_one, zip(active, graphs), threads)
+    if progress is not None:
+        progress()
 
 
 def generate_consensus_haplotype(
@@ -260,6 +269,7 @@ def generate_consensus_haplotype(
     min_support: float,
     num_prune: int,
     threads: int = 1,
+    progress=None,
 ) -> None:
     """Round-1 variation-graph correction over a batch of windows
     (reference: src/window.cpp:176-428)."""
@@ -274,7 +284,8 @@ def generate_consensus_haplotype(
         return
 
     graphs, totals, orders = _build_phase(
-        active, backend, collect_weight=True, threads=threads
+        active, backend, collect_weight=True, threads=threads,
+        progress=progress,
     )
 
     # prune the original POA graph (src/window.cpp:300-321)
@@ -292,6 +303,8 @@ def generate_consensus_haplotype(
     pruned: List[PoaGraph] = _pmap(
         prune_one, zip(active, graphs, totals), threads
     )
+    if progress is not None:
+        progress()
 
     # iterative realign + AddWeights + re-prune (src/window.cpp:329-386).
     # Graph structure is frozen within a round (AddWeights only re-weights
@@ -338,6 +351,8 @@ def generate_consensus_haplotype(
             return g.largest_subgraph()
 
         pruned = _pmap(reprune_one, zip(active, pruned), threads)
+        if progress is not None:
+            progress()
 
     # final backbone local alignment + corrected emit (src/window.cpp:388-394)
     items = [(w.backbone_codes, g, "sw") for w, g in zip(active, pruned)]
@@ -351,3 +366,5 @@ def generate_consensus_haplotype(
         w.polished = True
 
     _pmap(emit_one, zip(active, pruned, alignments), threads)
+    if progress is not None:
+        progress()

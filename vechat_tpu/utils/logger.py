@@ -56,3 +56,29 @@ class Logger:
 
     def count(self, key: str, value: float) -> None:
         self.counters[key] = self.counters.get(key, 0.0) + value
+
+
+class PhaseBar:
+    """Maps `total` units of batch-first work onto the 20-bin Logger.bar so
+    the hot phases show the reference's progress bar (src/polisher.cpp:477-488
+    and :549-558 tick once per 1/20 of completed futures; our unit of progress
+    is a completed batch stage instead of a thread future)."""
+
+    def __init__(self, logger: Logger, msg: str, total: int):
+        self.logger = logger
+        self.msg = msg
+        self.total = max(1, total)
+        self.done = 0
+        self.emitted = 0
+
+    def step(self, k: int = 1) -> None:
+        self.done += k
+        want = min((20 * self.done) // self.total, 20)
+        while self.emitted < want:
+            self.logger.bar(self.msg)
+            self.emitted += 1
+
+    def finish(self) -> None:
+        while self.emitted < 20:
+            self.logger.bar(self.msg)
+            self.emitted += 1
