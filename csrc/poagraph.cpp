@@ -694,6 +694,29 @@ int poa_dense(void* g, int n_cap, int p_cap, int* codes, int* preds,
   return 1;
 }
 
+// Flat edge-list export for the device graph cycle
+// (vechat_tpu/ops/kernels/graph_cycle.py): codes indexed by node id; edges
+// in insertion order, which IS every per-node in/out slot order (add_edge
+// appends globally; prune's compaction is monotone). Returns 0 when caps
+// are exceeded — caller falls back to the host cycle.
+int poa_edges(void* gv, int n_cap, int e_cap, int* codes, int* tails,
+              int* heads, int* weights, int* n_nodes, int* n_edges) {
+  Graph* g = static_cast<Graph*>(gv);
+  int n = static_cast<int>(g->codes.size());
+  int m = static_cast<int>(g->edges.size());
+  if (n > n_cap || m > e_cap) return 0;
+  for (int i = 0; i < n; ++i) codes[i] = g->codes[i];
+  for (int i = 0; i < m; ++i) {
+    tails[i] = g->edges[i].tail;
+    heads[i] = g->edges[i].head;
+    long long w = g->edges[i].weight;
+    weights[i] = w > 0x7fffffffLL ? 0x7fffffff : static_cast<int>(w);
+  }
+  *n_nodes = n;
+  *n_edges = m;
+  return 1;
+}
+
 int poa_align(void* g, const uint8_t* seq, int slen, int type, int m, int x,
               int gp, int* out_nodes, int* out_pos, int cap) {
   return align_linear(*static_cast<Graph*>(g), seq, slen, type, m, x, gp,

@@ -51,11 +51,20 @@ def _d_cap(ring_rows: int, w: int) -> int:
 class PallasAlignerBackend:
     """Drop-in batch aligner running the Pallas kernel on device."""
 
+    # the haplotype prune cycle runs device-resident for this backend
+    # (pipeline/device_cycle.py)
+    supports_graph_cycle = True
+
     def __init__(self, match: int, mismatch: int, gap: int, interpret: bool = False):
         self.match = match
         self.mismatch = mismatch
         self.gap = gap
         self.interpret = interpret
+        # device prune-cycle stage timers (pipeline/device_cycle.py)
+        self.t_cycle_pack = 0.0
+        self.t_cycle_device = 0.0
+        self.n_cycle_windows = 0
+        self.n_cycle_dispatches = 0
         self._host_nw = LinearAligner("nw", match, mismatch, gap)
         self._host_sw = LinearAligner("sw", 3, -5, -4)  # src/window.cpp:326
         self.fallbacks = 0

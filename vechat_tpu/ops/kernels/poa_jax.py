@@ -285,10 +285,16 @@ class JaxAlignerBackend:
     equal bucket shape onto the device. Items that exceed capacity fall back
     to the host oracle."""
 
+    supports_graph_cycle = True  # pipeline/device_cycle.py
+
     def __init__(self, match: int, mismatch: int, gap: int):
         self.match = match
         self.mismatch = mismatch
         self.gap = gap
+        self.t_cycle_pack = 0.0
+        self.t_cycle_device = 0.0
+        self.n_cycle_windows = 0
+        self.n_cycle_dispatches = 0
         from ..graph_align import LinearAligner
 
         self._host_nw = LinearAligner("nw", match, mismatch, gap)

@@ -82,6 +82,11 @@ def _build():
         _i32p, ctypes.POINTER(ctypes.c_int),
     ]
     lib.poa_dense.restype = ctypes.c_int
+    lib.poa_edges.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, _i32p, _i32p, _i32p,
+        _i32p, ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.poa_edges.restype = ctypes.c_int
     lib.poa_align.argtypes = [
         ctypes.c_void_p, _u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, _i32p, _i32p, ctypes.c_int,
@@ -306,6 +311,26 @@ class NativePoaGraph:
             node_id=node_id,
             is_sink=sink.astype(bool),
             n_nodes=int(nn.value),
+        )
+
+    def edges_dense(self, n_cap: int, e_cap: int) -> Optional[dict]:
+        """Flat edge-list export for the device graph cycle (codes by node
+        id, edges in insertion = slot order). None when caps exceeded."""
+        codes = np.zeros(n_cap, dtype=np.int32)
+        tails = np.zeros(e_cap, dtype=np.int32)
+        heads = np.zeros(e_cap, dtype=np.int32)
+        weights = np.zeros(e_cap, dtype=np.int32)
+        n = ctypes.c_int(0)
+        m = ctypes.c_int(0)
+        ok = self._lib.poa_edges(
+            self._h, n_cap, e_cap, codes, tails, heads, weights,
+            ctypes.byref(n), ctypes.byref(m),
+        )
+        if not ok:
+            return None
+        return dict(
+            codes=codes, tails=tails, heads=heads, weights=weights,
+            n_nodes=int(n.value), n_edges=int(m.value),
         )
 
     # -------------------------------------------------- checkpoint (cereal role)

@@ -1,0 +1,206 @@
+"""Device-resident haplotype prune-cycle driver.
+
+Routes the prune -> realign x2 -> emit cycle of generate_consensus_haplotype
+(reference: src/window.cpp:300-396) through the batched device program
+ops/kernels/graph_cycle.haplotype_cycle: after the incremental build phase,
+each window's graph crosses to the device ONCE as dense edge-list tensors and
+the whole cycle — PruneGraph, largest-CC renumbering, topological ranking,
+all realignments, AddWeights and the corrected-sequence emit — runs on device
+with a single host round-trip per window batch. The host C++ path remains the
+oracle and the capacity-overflow fallback (the cudapoa refusal pattern,
+src/cuda/cudabatch.cpp:205-209).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from ..ops.encode import phred_weights
+from ..ops.kernels.graph_cycle import graph_to_edges, haplotype_cycle
+
+# capacity ladders: every distinct (B, E, N, D, S) tuple is one XLA compile
+# (~300 s through this machine's remote-compile tunnel), so keep them COARSE.
+# Sized from the measured build-graph distribution of the standard e2e
+# config (500 bp windows, ~8% error, 30-40x): nodes p50=927 max=1105,
+# edges max=1905, layer depth max=32, max layer seq 518, in-degree max 7.
+N_LADDER = (256, 1152, 2048)
+D_LADDER = (8, 32, 64)
+S_LADDER = (128, 576)
+B_LADDER = (4, 16, 64)
+A_CAP = 32
+P_CAP = 16
+D_CHUNK = 8
+
+
+def _bucket(v, ladder):
+    for b in ladder:
+        if v <= b:
+            return b
+    return None
+
+
+def use_device_cycle(backend) -> bool:
+    """The cycle engages for device backends unless explicitly disabled."""
+    flag = os.environ.get("VECHAT_DEVICE_CYCLE")
+    if flag is not None:
+        return flag not in ("0", "", "off")
+    return getattr(backend, "supports_graph_cycle", False)
+
+
+def _window_avg_weight(w, total: float) -> float:
+    """average_weight = 2*total/window_len (uint16 len quirk), x1000 for
+    FASTQ-mode windows (reference: src/window.cpp:301-309)."""
+    window_len = np.uint16(len(w.backbone_codes))
+    avg = 2.0 * total / int(window_len)
+    if not w.if_fasta:
+        avg *= 1000.0
+    return avg
+
+
+def run_device_cycle(
+    active: List,
+    graphs: List,
+    totals: List[float],
+    orders: List[List[int]],
+    backend,
+    min_confidence: float,
+    min_support: float,
+    num_prune: int,
+    progress=None,
+) -> List[bool]:
+    """Run the device cycle for every eligible window. Sets consensus_codes /
+    polished on handled windows; returns a handled mask (False -> the caller
+    must run the host cycle for that window)."""
+    import jax.numpy as jnp
+
+    handled = [False] * len(active)
+    m, x, g = backend.match, backend.mismatch, backend.gap
+
+    # ---- classify windows into shape buckets
+    t0 = time.perf_counter()
+    buckets = {}
+    packs: List[Optional[dict]] = [None] * len(active)
+    for wi, (w, gr) in enumerate(zip(active, graphs)):
+        blen = len(w.backbone_codes)
+        offset = int(0.01 * blen)
+        d_real = 1 + len(w.layers)
+        s_max = max(
+            [len(w.backbone_codes)] + [len(l.codes) for l in w.layers]
+        )
+        nb = _bucket(gr.num_nodes(), N_LADDER)
+        db = _bucket(d_real, D_LADDER)
+        sb = _bucket(s_max, S_LADDER)
+        if nb is None or db is None or sb is None:
+            continue
+        ed = graph_to_edges(gr, nb, 2 * nb)
+        if ed is None:
+            continue
+        seqs = np.full((db, sb), 0xFF, np.int32)
+        seq_w = np.ones((db, sb), np.int32)
+        slen = np.ones(db, np.int32)
+        is_sw = np.zeros(db, bool)
+        bb = w.backbone_codes
+        seqs[0, : len(bb)] = bb
+        seq_w[0, : len(bb)] = phred_weights(w.backbone_quality, len(bb))
+        slen[0] = len(bb)
+        for j, oi in enumerate(orders[wi], start=1):
+            l = w.layers[oi]
+            seqs[j, : len(l.codes)] = l.codes
+            seq_w[j, : len(l.codes)] = phred_weights(l.quality, len(l.codes))
+            slen[j] = len(l.codes)
+            is_sw[j] = not (l.begin < offset and l.end > blen - offset)
+        packs[wi] = dict(
+            edges=ed, seqs=seqs, seq_w=seq_w, slen=slen, is_sw=is_sw,
+            d_real=d_real, avg=_window_avg_weight(w, totals[wi]),
+        )
+        buckets.setdefault((nb, db, sb), []).append(wi)
+    t_pack = time.perf_counter() - t0
+
+    # ---- run batches per bucket: dispatch everything, then fetch
+    t_device = 0.0
+    t_fetch = 0.0
+    n_dispatches = 0
+    pending = []
+    t0 = time.perf_counter()
+    for (nb, db, sb), wis in sorted(buckets.items()):
+        eb = 2 * nb
+        for off in range(0, len(wis), B_LADDER[-1]):
+            chunk = wis[off : off + B_LADDER[-1]]
+            B = _bucket(len(chunk), B_LADDER) or len(chunk)
+            tails = np.zeros((B, eb), np.int32)
+            heads = np.zeros((B, eb), np.int32)
+            weights = np.zeros((B, eb), np.int32)
+            codes = np.zeros((B, nb), np.int32)
+            n_nodes = np.ones(B, np.int32)
+            n_edges = np.zeros(B, np.int32)
+            avg = np.ones(B, np.float32)
+            seqs = np.full((B, db, sb), 0xFF, np.int32)
+            seqs[:, :, 0] = 0
+            seq_w = np.ones((B, db, sb), np.int32)
+            slen = np.ones((B, db), np.int32)
+            is_sw = np.zeros((B, db), bool)
+            d_used = np.ones(B, np.int32)
+            for bi, wi in enumerate(chunk):
+                p = packs[wi]
+                ed = p["edges"]
+                tails[bi] = ed["tails"][:eb]
+                heads[bi] = ed["heads"][:eb]
+                weights[bi] = ed["weights"][:eb]
+                codes[bi] = ed["codes"][:nb]
+                n_nodes[bi] = ed["n_nodes"]
+                n_edges[bi] = ed["n_edges"]
+                avg[bi] = p["avg"]
+                seqs[bi] = p["seqs"]
+                seq_w[bi] = p["seq_w"]
+                slen[bi] = p["slen"]
+                is_sw[bi] = p["is_sw"]
+                d_used[bi] = p["d_real"]
+            out = haplotype_cycle(
+                jnp.asarray(tails), jnp.asarray(heads), jnp.asarray(weights),
+                jnp.asarray(n_edges), jnp.asarray(codes), jnp.asarray(n_nodes),
+                jnp.asarray(avg), jnp.asarray(seqs), jnp.asarray(slen),
+                jnp.asarray(seq_w), jnp.asarray(is_sw), jnp.asarray(d_used),
+                jnp.float32(min_confidence), jnp.float32(min_support),
+                num_prune=num_prune, m=m, x=x, g=g,
+                a_cap=A_CAP, p_cap=P_CAP, d_chunk=D_CHUNK,
+            )
+            n_dispatches += 1
+            pending.append((chunk, out))
+    t_device = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for chunk, (corrected, out_len, overflow, n_sub) in pending:
+        corrected = np.asarray(corrected)
+        out_len = np.asarray(out_len)
+        overflow = np.asarray(overflow)
+        for bi, wi in enumerate(chunk):
+            if overflow[bi]:
+                continue  # host fallback
+            w = active[wi]
+            w.consensus_codes = corrected[bi, : out_len[bi]].astype(np.uint8)
+            w.polished = True
+            handled[wi] = True
+        if progress is not None:
+            progress()
+    t_fetch = time.perf_counter() - t0
+
+    n_handled = sum(handled)
+    if hasattr(backend, "t_cycle_device"):
+        backend.t_cycle_pack += t_pack
+        backend.t_cycle_device += t_device + t_fetch
+        backend.n_cycle_windows += n_handled
+        backend.n_cycle_dispatches += n_dispatches
+    if n_dispatches:
+        import sys
+
+        print(
+            f"[vechat_tpu::cycle] device prune-cycle: {n_handled}/"
+            f"{len(active)} windows, {n_dispatches} dispatches | pack "
+            f"{t_pack:.1f}s | device {t_device:.1f}s | fetch {t_fetch:.1f}s",
+            file=sys.stderr,
+        )
+    return handled

@@ -288,6 +288,24 @@ def generate_consensus_haplotype(
         progress=progress,
     )
 
+    # device-resident prune cycle: the whole prune -> realign x2 -> emit
+    # cycle runs on device, one round-trip per window batch; unhandled
+    # windows (capacity overflow / host backend) take the classic host path
+    from .device_cycle import run_device_cycle, use_device_cycle
+
+    if use_device_cycle(backend):
+        handled = run_device_cycle(
+            active, graphs, totals, orders, backend,
+            min_confidence, min_support, num_prune, progress=progress,
+        )
+        remaining = [i for i, h in enumerate(handled) if not h]
+        if not remaining:
+            return
+        active = [active[i] for i in remaining]
+        graphs = [graphs[i] for i in remaining]
+        totals = [totals[i] for i in remaining]
+        orders = [orders[i] for i in remaining]
+
     # prune the original POA graph (src/window.cpp:300-321)
     def prune_one(arg):
         w, g, total = arg
