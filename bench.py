@@ -52,7 +52,7 @@ ROUNDTRIP_S = 0.065  # measured host<->device fetch latency on this machine
 STAGES = [
     ("small", 8, 256, 8, 8, 256, 512, 420),
     ("medium", 32, 640, 8, 16, 512, 32, 420),
-    ("full", 64, 640, 8, 48, 512, 8, 420),
+    ("full", 64, 640, 8, 64, 512, 8, 420),
 ]
 
 
@@ -123,7 +123,13 @@ def synth_graph_batch(B, N, P, D, W, seed=0):
 
 def chain_time(fn, args, feed_idx, probe, K=8):
     """Device-side timing: K data-dependent iterations inside one jit, one
-    final fetch (see module docstring)."""
+    SCALAR fetch (see module docstring).
+
+    The chained program returns a single element of the fed-back array (a
+    4-byte fetch), not the array itself: fetching the full multi-MB feed
+    array through this machine's ~10 MB/s tunnel dominated the wall and
+    masqueraded as device-phase variance in earlier rounds (r3's banked
+    4.95-10.47 GCUPS spread was mostly fetch bandwidth, not the chip)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -139,13 +145,14 @@ def chain_time(fn, args, feed_idx, probe, K=8):
             a[feed_idx] = dep(a[feed_idx], probe(out))
             return tuple(a)
 
-        return lax.fori_loop(0, K, body, tuple(a))[feed_idx]
+        fed = lax.fori_loop(0, K, body, tuple(a))[feed_idx]
+        return fed.ravel()[0]
 
     r = chained(*args)
-    np.asarray(r).ravel()[:1]
+    float(r)
     t0 = time.perf_counter()
     r = chained(*args)
-    np.asarray(r).ravel()[:1]
+    float(r)
     tot = time.perf_counter() - t0
     # (per-iteration time, raw wall time) — the caller must treat raw walls
     # below a few roundtrips as latency-floored and unreliable

@@ -26,7 +26,7 @@ P_BUCKETS = (4, 8, 16)
 # deeper D (poa_pallas.py module docstring). Max ring 511: the predecessor
 # delta must fit the kernel's 9-bit field (poa_pallas.DELTA_BITS)
 R_BUCKETS = (64, 128, 256, 511)
-D_CHOICES = (48, 32, 16, 8, 4, 2, 1)
+D_CHOICES = (64, 48, 32, 16, 8, 4, 2, 1)
 VMEM_BUDGET = 13 * 1024 * 1024
 DIR_HBM_BUDGET = 1 << 30  # bytes of direction tensor per dispatch
 
@@ -41,7 +41,9 @@ def _bucket(v: int, buckets) -> Optional[int]:
 def _d_cap(ring_rows: int, w: int) -> int:
     # per-window VMEM bytes/(D*W): H int16 ring (2*(R+1)) + PROF table (64)
     # + BESTC (4) + 2 pipelined int16 out chunks (2*2*ROW_CHUNK) + seqp (4)
-    per_dw = 2 * ring_rows + 16 * 4 + 4 + 2 * 2 * 64 + 4
+    from .poa_pallas import ROW_CHUNK
+
+    per_dw = 2 * ring_rows + 16 * 4 + 4 + 2 * 2 * ROW_CHUNK + 4
     for d in D_CHOICES:
         if per_dw * d * w <= VMEM_BUDGET:
             return d

@@ -68,9 +68,15 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 NEGV = -(2**30)  # combo-domain -inf (decodes below any fits_int16 value)
 NEG16 = -16000  # value-domain -inf for int16-stored H rows
-ROW_CHUNK = 64  # H rows per pipelined output chunk
+# H rows per pipelined output chunk. Smaller chunks shrink the
+# double-buffered dirs out block (2*CH*D*W int16 of VMEM) — the largest
+# VMEM consumer — buying a deeper D at the same budget (env-tunable for
+# experiments)
+ROW_CHUNK = int(os.environ.get("VECHAT_ROW_CHUNK", "32"))
 TIE = 4096  # row-tie field width in the packed best-cell combo
 NCODES = 16  # fixed alphabet size (ops/encode.py)
 DELTA_BITS = 9  # predecessor row-distance field; ring must stay < 2**9
