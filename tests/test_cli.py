@@ -113,3 +113,35 @@ def test_racon_cli(dataset, tmp_path, capsys):
     stdout = capsys.readouterr().out
     assert stdout.startswith(">read")
     assert "LN:i:" in stdout
+
+
+def test_stream_mode_matches_split(dataset, tmp_path):
+    """--stream (bounded-memory file-mediated chunked rounds) must produce
+    byte-identical output to the in-memory --split driver."""
+    from vechat_tpu.cli.vechat_main import main
+
+    _, _, path = dataset
+    out_split = tmp_path / "split.fa"
+    out_stream = tmp_path / "stream.fa"
+    base = [str(path), "--platform", "ont", "--backend", "host",
+            "--split-size", "16"]
+    assert main(base + ["-o", str(out_split), "--split"]) == 0
+    assert main(base + ["-o", str(out_stream), "--stream"]) == 0
+    assert out_split.read_bytes() == out_stream.read_bytes()
+
+
+def test_stream_mode_resume(dataset, tmp_path):
+    """--stream + --resume-dir: a rerun reuses chunk checkpoints and emits
+    identical output."""
+    from vechat_tpu.cli.vechat_main import main
+
+    _, _, path = dataset
+    out1 = tmp_path / "s1.fa"
+    out2 = tmp_path / "s2.fa"
+    rd = tmp_path / "ckpt"
+    base = [str(path), "--platform", "ont", "--backend", "host",
+            "--split-size", "16", "--stream", "--resume-dir", str(rd)]
+    assert main(base + ["-o", str(out1)]) == 0
+    assert (rd / "round1.chunk00001.rec").exists()
+    assert main(base + ["-o", str(out2)]) == 0
+    assert out1.read_bytes() == out2.read_bytes()

@@ -40,6 +40,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--split", action="store_true", help="chunk targets")
     p.add_argument("--split-size", type=int, default=1000000)
     p.add_argument(
+        "--stream",
+        action="store_true",
+        help="bounded-memory chunked mode: rounds pass FASTA/PAF files, each "
+        "chunk loads only its own targets + overlapping queries (the "
+        "reference's extract_sub_sequences flow, scripts/vechat:99-169, "
+        "with bioparser's chunked-parse memory profile, "
+        "src/polisher.cpp:234-272). Implies --split. Peak RSS = full read "
+        "set ONLY during the global overlap-discovery phase (the minimap2 "
+        "index analog); correction holds one chunk's working set",
+    )
+    p.add_argument(
         "--resume-dir",
         default=None,
         metavar="DIR",
@@ -241,10 +252,13 @@ def run_round_targets(
     args,
     logger: Logger,
     overlaps_path: Optional[str] = None,
+    overlaps_records: Optional[List] = None,
 ) -> List[SeqRecord]:
     """One correction pass with distinct target/query sets."""
     linear = args.linear or iteration == 2
-    if overlaps_path:
+    if overlaps_records is not None:
+        overlaps = overlaps_records
+    elif overlaps_path:
         overlaps = read_paf(overlaps_path)
     else:
         params = OverlapParams.for_platform(args.platform)
@@ -332,6 +346,139 @@ def run_round_targets(
     return polisher.polish(drop_unpolished_sequences=not args.include_unpolished)
 
 
+def run_round_stream(
+    reads_path: str,
+    iteration: int,
+    args,
+    logger: Logger,
+    out_path: str,
+    overlaps_path: Optional[str] = None,
+    orig_fastq: bool = False,
+) -> int:
+    """Bounded-memory chunked round: rounds exchange FILES, each chunk loads
+    only its targets plus the queries its overlaps name (the reference's
+    per-chunk extract_sub_sequences flow, scripts/vechat:54-55,99-169).
+
+    Memory profile: the full read set is resident only during the global
+    overlap-discovery phase (reads only — the minimap2 index analog); every
+    correction chunk holds one chunk's targets, its overlapping queries and
+    its overlap records. The inter-round corrected pool lives on disk.
+
+    Per-chunk window-type selection (NGS/TGS by mean query length,
+    src/polisher.cpp:284-285) sees the chunk's query subset — exactly like
+    the reference's per-chunk racon invocation, and unlike the in-memory
+    --split path which sees the full pool.
+
+    Returns the number of corrected reads written to out_path.
+    """
+    import tempfile
+
+    from ..io.paf import iter_paf, write_paf
+
+    tmp_paf = None
+    if overlaps_path is None:
+        # global overlap phase: the one O(total reads) resident phase
+        reads = read_fastx(reads_path)
+        params = OverlapParams.for_platform(args.platform)
+        overlaps = find_overlaps(reads, params)
+        if iteration == 1:
+            overlaps = filter_length_identity(overlaps, min_block=500)
+            overlaps = filter_fpa(overlaps)
+            if args.base:
+                from .racon_main import make_backend as _mb
+
+                be = _mb(args.backend, args.match, args.mismatch, args.gap)
+                overlaps = refine_identity(overlaps, reads, be)
+                overlaps = filter_length_identity(
+                    overlaps, min_block=500, min_identity=args.min_identity
+                )
+        else:
+            overlaps = filter_length_identity(
+                overlaps, min_block=args.min_ovlplen_cns
+            )
+            overlaps = filter_fpa(overlaps)
+            from .racon_main import make_backend as _mb
+
+            be = _mb(args.backend, args.match, args.mismatch, args.gap)
+            overlaps = refine_identity(overlaps, reads, be)
+            overlaps = filter_length_identity(
+                overlaps,
+                min_block=args.min_ovlplen_cns,
+                min_identity=args.min_identity_cns,
+            )
+        fd, tmp_paf = tempfile.mkstemp(suffix=".paf")
+        os.close(fd)
+        write_paf(overlaps, tmp_paf)
+        logger.log(
+            f"round {iteration}: {len(overlaps)} overlaps -> {tmp_paf}"
+        )
+        del reads, overlaps  # free the pool before chunked correction
+        overlaps_path = tmp_paf
+
+    from ..io.fastx import fastx_names, subset_fastx
+
+    names = fastx_names(reads_path)
+    fmt_lines = 4 if (orig_fastq and iteration == 1) else 2
+    split_size = args.split_size
+    if iteration > 1 and orig_fastq:
+        split_size = args.split_size // 2
+    reads_per_chunk = max(1, split_size // fmt_lines)
+
+    resume_dir = getattr(args, "resume_dir", None)
+    if resume_dir:
+        os.makedirs(resume_dir, exist_ok=True)
+
+    n_out = 0
+    with open(out_path, "w") as fw:
+        for off in range(0, len(names), reads_per_chunk):
+            chunk_names = names[off : off + reads_per_chunk]
+            chunk_set = set(chunk_names)
+            ck = off // reads_per_chunk + 1
+            ck_path = (
+                os.path.join(
+                    resume_dir, f"round{iteration}.chunk{ck:05d}.rec"
+                )
+                if resume_dir
+                else None
+            )
+            if ck_path and os.path.exists(ck_path):
+                from ..parallel.dist import read_records_blob
+
+                corrected = read_records_blob(ck_path)
+                logger.log(
+                    f"round {iteration}: chunk {ck} resumed from checkpoint"
+                )
+            else:
+                chunk_ovl = [
+                    ov
+                    for ov in iter_paf(overlaps_path)
+                    if ov.t_name in chunk_set
+                ]
+                qnames = {ov.q_name for ov in chunk_ovl} | chunk_set
+                recs = subset_fastx(reads_path, qnames)
+                by_name = {r.name: r for r in recs}
+                targets = [
+                    by_name[n] for n in chunk_names if n in by_name
+                ]
+                logger.log(
+                    f"round {iteration}: chunk {ck} ({len(targets)} targets, "
+                    f"{len(recs)} resident reads, {len(chunk_ovl)} overlaps)"
+                )
+                corrected = run_round_targets(
+                    targets, recs, iteration, args, logger,
+                    overlaps_records=chunk_ovl,
+                )
+                if ck_path:
+                    from ..parallel.dist import write_records_blob
+
+                    write_records_blob(corrected, ck_path)
+            write_fasta(corrected, fw)
+            n_out += len(corrected)
+    if tmp_paf:
+        os.unlink(tmp_paf)
+    return n_out
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     logger = Logger()
@@ -378,6 +525,47 @@ def main(argv=None) -> int:
     group = ProcessGroup.from_env()
     if group.num_processes > 1 and os.environ.get("VECHAT_DIST_INIT") == "1":
         group.initialize_jax()
+
+    if args.stream and group.num_processes == 1:
+        # bounded-memory file-mediated rounds (run_round_stream docstring)
+        import tempfile
+
+        cur_path = args.sequences
+        if args.scrub:
+            # scrubbing needs the whole pool once; write the scrubbed set out
+            fd, scrubbed = tempfile.mkstemp(suffix=".fa")
+            os.close(fd)
+            write_fasta(reads, scrubbed)
+            cur_path = scrubbed
+        del reads
+        tmp_outs = []
+        for idx, i in enumerate(rounds, start=1):
+            overlaps_path = args.overlaps if idx == 1 else None
+            fd, rpath = tempfile.mkstemp(suffix=f".r{idx}.fa")
+            os.close(fd)
+            tmp_outs.append(rpath)
+            n = run_round_stream(
+                cur_path, i, args, logger, rpath, overlaps_path,
+                orig_fastq=orig_fastq,
+            )
+            logger.log(f"round {i} complete: {n} corrected reads")
+            cur_path = rpath
+        # final filter + rename, streaming
+        from ..io.fastx import iter_fastx
+
+        with open(args.outfile, "w") as fw:
+            for rec in iter_fastx(cur_path, shorten_names=False):
+                if len(rec.data) >= args.min_corrected_length:
+                    fw.write(f">{rec.name}\n{rec.data}\n")
+        for p in tmp_outs:
+            os.unlink(p)
+        if profiler_ctx:
+            import jax
+
+            jax.profiler.stop_trace()
+            logger.log(f"profiler trace written to {profiler_ctx}")
+        logger.total("total =")
+        return 0
 
     for idx, i in enumerate(rounds, start=1):
         overlaps_path = args.overlaps if idx == 1 else None

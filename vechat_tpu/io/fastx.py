@@ -181,6 +181,26 @@ def _iter_fastq(fr: io.TextIOBase, shorten_names: bool) -> Iterator[SeqRecord]:
             raise ValueError(f"malformed FASTQ after record {name}")
 
 
+def fastx_names(
+    path: Union[str, os.PathLike], shorten_names: bool = True
+) -> List[str]:
+    """Record names in file order, streaming (nothing else retained)."""
+    return [r.name for r in iter_fastx(path, shorten_names)]
+
+
+def subset_fastx(
+    path: Union[str, os.PathLike],
+    names,
+    shorten_names: bool = True,
+) -> List[SeqRecord]:
+    """Load only the named records, streaming the file once; peak memory is
+    the subset, not the pool (the extract_sub_sequences role of the
+    reference's chunked flow, scripts/vechat:99-169, which likewise
+    re-scans the full inputs per chunk)."""
+    want = set(names)
+    return [r for r in iter_fastx(path, shorten_names) if r.name in want]
+
+
 def read_fastx(
     path: Union[str, os.PathLike],
     shorten_names: bool = True,
