@@ -18,8 +18,12 @@ from ..graph_align import LinearAligner
 from ..poagraph import Alignment, PoaGraph
 from .poa_jax import graph_to_dense
 
-N_BUCKETS = (128, 256, 512, 640, 1024, 2048)
-W_BUCKETS = (128, 256, 512, 768)
+# COARSE ladders: the kernel predicates away rows beyond the real node
+# count (dp_body's pl.when), so nb padding costs little compute — while
+# every extra bucket fragments batches into more dispatches (a ~0.3 s
+# tunnel round-trip each here) and adds a ~300 s remote compile
+N_BUCKETS = (256, 640, 1152, 2048)
+W_BUCKETS = (128, 320, 576, 768)
 P_BUCKETS = (4, 8, 16)
 # H-ring sizes: POA graphs from overlapping reads keep predecessor
 # rank-distance small, so a short ring usually holds and frees VMEM for a
@@ -213,13 +217,9 @@ class PallasAlignerBackend:
                 if rb is None and dist <= R_BUCKETS[-1]:
                     rb = R_BUCKETS[-1]
             if rb is not None:
-                dcap = _d_cap((rb if rb else nb) + 1, wb)
-                # split this graph's items into D-sized chunks
-                for off in range(0, len(idxs), dcap):
-                    chunk = idxs[off : off + dcap]
-                    buckets.setdefault((mode, nb, pb, wb, dcap, rb), []).append(
-                        (graph, chunk)
-                    )
+                buckets.setdefault((mode, nb, pb, wb), []).append(
+                    (graph, idxs, rb)
+                )
             else:
                 for i in idxs:
                     self.fallbacks += 1
@@ -229,8 +229,21 @@ class PallasAlignerBackend:
         # arrays immediately), THEN fetch+decode. Overlapping the h2d of
         # chunk i+1 with the execute/d2h of chunk i hides part of the
         # ~10 MB/s tunnel's transfer time.
+        #
+        # One ring per GROUP, not per graph: the group takes the largest
+        # member ring (0 = full history = nb rows, the largest) so graphs
+        # with different predecessor reach share one dispatch — per-graph
+        # rings fragmented the build phase into ~3x more dispatches, and on
+        # this machine each dispatch costs a ~0.3 s tunnel round-trip
         pending = []
-        for (mode, nb, pb, wb, dcap, rb), entries in buckets.items():
+        for (mode, nb, pb, wb), group in buckets.items():
+            eff = max((rb if rb else nb) for _, _, rb in group)
+            rb_g = 0 if eff >= nb else eff
+            dcap = _d_cap(eff + 1, wb)
+            entries = []
+            for graph, idxs, _ in group:
+                for off in range(0, len(idxs), dcap):
+                    entries.append((graph, idxs[off : off + dcap]))
             max_b = max(1, DIR_HBM_BUDGET // ((nb + 1 + 63) * dcap * wb * 2))
             for off in range(0, len(entries), max_b):
                 p = self._run_chunk(
@@ -242,7 +255,7 @@ class PallasAlignerBackend:
                     pb,
                     wb,
                     dcap,
-                    rb,
+                    rb_g,
                 )
                 if p is not None:
                     pending.append(p)

@@ -342,7 +342,16 @@ def dfs_preorder(
         return visited, new_id, order, stack, pptr, sp, cnt
 
     state = (visited, new_id, order, stack, pptr, sp, cnt)
-    state = lax.fori_loop(0, 2 * N + 1, step, state)
+
+    def cond(st):
+        it, inner = st
+        return (it < 2 * N + 1) & jnp.any(inner[5] > 0)
+
+    def body(st):
+        it, inner = st
+        return it + 1, step(it, inner)
+
+    _, state = lax.while_loop(cond, body, (jnp.int32(0), state))
     visited, new_id, order, stack, pptr, sp, cnt = state
     return new_id, order, cnt
 
@@ -503,8 +512,20 @@ def topo_ranks(
         return emitted, rank_of, rank_to_node, stack, sp, cnt
 
     state = (emitted, rank_of, rank_to_node, stack, sp, cnt)
-    # steps: N pushes + N emits + up to N rooting steps interleaved
-    state = lax.fori_loop(0, 3 * N + 2, step, state)
+
+    # steps: N pushes + N emits + up to N rooting steps interleaved;
+    # early-exits once every window has emitted all n_sub nodes
+    def cond(st):
+        it, inner = st
+        return (it < 3 * N + 2) & jnp.any(
+            (inner[4] > 0) | (inner[5] < n_sub)
+        )
+
+    def body(st):
+        it, inner = st
+        return it + 1, step(it, inner)
+
+    _, state = lax.while_loop(cond, body, (jnp.int32(0), state))
     emitted, rank_of, rank_to_node, stack, sp, cnt = state
     return rank_of, rank_to_node
 
@@ -613,7 +634,10 @@ def poa_align_mixed(
         run = jnp.where(sw, jnp.maximum(run, 0), run)
         return H.at[:, :, n + 1, :].set(run)
 
-    H = lax.fori_loop(0, N, step, H)
+    # rows are capacity-padded; only the batch's real maximum node count
+    # needs computing (rows beyond a window's n_sub are masked out of cell
+    # selection and never visited by the traceback)
+    H = lax.fori_loop(0, jnp.max(n_sub), step, H)
 
     # ---- max cell selection (first maximal in (rank, j) scan order)
     row_valid = jnp.arange(N)[None, :] < n_sub[:, None]  # [B, N]
@@ -719,8 +743,17 @@ def poa_align_mixed(
     pairs0 = jnp.full((B, D, L, 2), -2, jnp.int32)
     k0 = jnp.zeros((B, D), jnp.int32)
     active0 = cond_alive(i0, j0) & (~start_empty)
-    _, _, count, _, pairs = lax.fori_loop(
-        0, L, tb_step, (i0, j0, k0, active0, pairs0)
+
+    def tb_cond(state):
+        step, (i, j, k, active, pairs) = state
+        return (step < L) & jnp.any(active)
+
+    def tb_body(state):
+        step, inner = state
+        return step + 1, tb_step(step, inner)
+
+    _, (_, _, count, _, pairs) = lax.while_loop(
+        tb_cond, tb_body, (jnp.int32(0), (i0, j0, k0, active0, pairs0))
     )
     count = jnp.where(start_empty, 0, count)
     return pairs, count, max_score
