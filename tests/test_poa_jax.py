@@ -155,6 +155,9 @@ def test_end_to_end_with_jax_backend():
     host_out = run(None)
     dev = JaxAlignerBackend(3, -5, -4)
     dev_out = run(dev)
-    assert dev.device_alignments > 0
+    # the device path ran: either through per-batch aligner dispatches (the
+    # classic backend) or the fully in-jit build+cycle programs (round 4's
+    # device polish, which never calls align_batch for round 1)
+    assert dev.device_alignments > 0 or dev.n_cycle_dispatches > 0
     assert [r.data for r in dev_out] == [r.data for r in host_out]
     assert [r.name for r in dev_out] == [r.name for r in host_out]

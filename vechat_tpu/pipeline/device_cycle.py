@@ -61,6 +61,204 @@ def _window_avg_weight(w, total: float) -> float:
     return avg
 
 
+def use_device_build(backend) -> bool:
+    """Full on-device round-1 (build + cycle) unless disabled."""
+    flag = os.environ.get("VECHAT_DEVICE_BUILD")
+    if flag is not None:
+        return flag not in ("0", "", "off")
+    return getattr(backend, "supports_graph_cycle", False)
+
+
+R_CAP = 8  # aligned-ring capacity (DNA: a node plus <= a handful of variants)
+
+
+def run_device_polish(
+    active: List,
+    backend,
+    min_confidence: float,
+    min_support: float,
+    num_prune: int,
+    progress=None,
+) -> List[bool]:
+    """Round-1 window consensus entirely on device: the incremental build
+    (graph_build.device_build — one jitted program over layer steps) feeds
+    the prune cycle (graph_cycle.haplotype_cycle) without the graphs ever
+    existing on the host. Two dispatches per window batch replace the
+    per-layer-step dispatch storm of the host-build path (459 dispatches for
+    a 205-window batch through this machine's tunnel).
+
+    Sets consensus on handled windows; returns the handled mask."""
+    import jax.numpy as jnp
+
+    from ..ops.encode import phred_prob_sum, phred_weights
+    from ..ops.kernels.graph_build import device_build
+    from ..pipeline.windows import _backbone_weights, _layer_order
+
+    handled = [False] * len(active)
+    m, x, g = backend.match, backend.mismatch, backend.gap
+
+    t0 = time.perf_counter()
+    buckets = {}
+    packs: List[Optional[dict]] = [None] * len(active)
+    for wi, w in enumerate(active):
+        blen = len(w.backbone_codes)
+        offset = int(0.01 * blen)
+        d_real = 1 + len(w.layers)
+        s_max = max(
+            [blen] + [len(l.codes) for l in w.layers]
+        )
+        # build graphs grow ~(1 + error_rate * depth) x backbone; bucket on
+        # the realistic ceiling, fall back to host when it overflows there
+        nb = _bucket(max(blen * 2, 256), N_LADDER)
+        db = _bucket(d_real, D_LADDER)
+        sb = _bucket(s_max, S_LADDER)
+        if nb is None or db is None or sb is None:
+            continue
+        order = _layer_order(w)
+        seqs = np.full((db, sb), 0xFF, np.int32)
+        bw = np.ones((db, sb), np.int32)  # build weights
+        cw = np.ones((db, sb), np.int32)  # cycle (AddWeights) weights
+        slen = np.ones(db, np.int32)
+        begin = np.zeros(db, np.int32)
+        end = np.zeros(db, np.int32)
+        full = np.zeros(db, bool)
+        is_sw = np.zeros(db, bool)
+        bb = w.backbone_codes
+        seqs[0, : len(bb)] = bb
+        bw[0, : len(bb)] = _backbone_weights(w)
+        cw[0, : len(bb)] = phred_weights(w.backbone_quality, len(bb))
+        slen[0] = len(bb)
+        total = (
+            float(len(bb))
+            if w.if_fasta
+            else (
+                phred_prob_sum(w.backbone_quality)
+                if w.backbone_quality is not None
+                else 0.0
+            )
+        )
+        for j, oi in enumerate(order, start=1):
+            l = w.layers[oi]
+            seqs[j, : len(l.codes)] = l.codes
+            bw[j, : len(l.codes)] = phred_weights(l.quality, len(l.codes))
+            cw[j, : len(l.codes)] = bw[j, : len(l.codes)]
+            slen[j] = len(l.codes)
+            begin[j] = l.begin
+            end[j] = l.end
+            full[j] = l.begin < offset and l.end > blen - offset
+            is_sw[j] = not full[j]
+            total += (
+                float(len(l.codes))
+                if l.quality is None
+                else phred_prob_sum(l.quality)
+            )
+        packs[wi] = dict(
+            seqs=seqs, bw=bw, cw=cw, slen=slen, begin=begin, end=end,
+            full=full, is_sw=is_sw, d_real=d_real,
+            avg=_window_avg_weight(w, total),
+        )
+        buckets.setdefault((nb, db, sb), []).append(wi)
+    t_pack = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pending = []
+    n_dispatches = 0
+    for (nb, db, sb), wis in sorted(buckets.items()):
+        eb = 2 * nb
+        for off in range(0, len(wis), B_LADDER[-1]):
+            chunk = wis[off : off + B_LADDER[-1]]
+            B = _bucket(len(chunk), B_LADDER) or len(chunk)
+            bb_codes = np.zeros((B, sb), np.int32)
+            bb_w = np.zeros((B, sb), np.int32)
+            bb_len = np.ones(B, np.int32)
+            lseqs = np.full((B, db - 1, sb), 0xFF, np.int32)
+            lw = np.ones((B, db - 1, sb), np.int32)
+            llen = np.ones((B, db - 1), np.int32)
+            lbegin = np.zeros((B, db - 1), np.int32)
+            lend = np.zeros((B, db - 1), np.int32)
+            lfull = np.zeros((B, db - 1), bool)
+            n_layers = np.zeros(B, np.int32)
+            seqs = np.full((B, db, sb), 0xFF, np.int32)
+            seqs[:, :, 0] = 0
+            seq_w = np.ones((B, db, sb), np.int32)
+            slen_c = np.ones((B, db), np.int32)
+            is_sw = np.zeros((B, db), bool)
+            d_used = np.ones(B, np.int32)
+            avg = np.ones(B, np.float32)
+            for bi, wi in enumerate(chunk):
+                p = packs[wi]
+                bb_codes[bi] = p["seqs"][0]
+                bb_codes[bi][p["seqs"][0] == 0xFF] = 0
+                bb_w[bi] = p["bw"][0]
+                bb_len[bi] = p["slen"][0]
+                nl = p["d_real"] - 1
+                lseqs[bi, :nl] = p["seqs"][1 : nl + 1]
+                lw[bi, :nl] = p["bw"][1 : nl + 1]
+                llen[bi, :nl] = p["slen"][1 : nl + 1]
+                lbegin[bi, :nl] = p["begin"][1 : nl + 1]
+                lend[bi, :nl] = p["end"][1 : nl + 1]
+                lfull[bi, :nl] = p["full"][1 : nl + 1]
+                n_layers[bi] = nl
+                seqs[bi] = p["seqs"]
+                seq_w[bi] = p["cw"]
+                slen_c[bi] = p["slen"]
+                is_sw[bi] = p["is_sw"]
+                d_used[bi] = p["d_real"]
+                avg[bi] = p["avg"]
+            built = device_build(
+                jnp.asarray(bb_codes), jnp.asarray(bb_w), jnp.asarray(bb_len),
+                jnp.asarray(lseqs), jnp.asarray(lw), jnp.asarray(llen),
+                jnp.asarray(lbegin), jnp.asarray(lend), jnp.asarray(lfull),
+                jnp.asarray(n_layers), nb, eb, R_CAP, m, x, g,
+            )
+            out = haplotype_cycle(
+                built["tails"], built["heads"], built["weights"],
+                built["n_edges"], built["codes"], built["n_nodes"],
+                jnp.asarray(avg), jnp.asarray(seqs), jnp.asarray(slen_c),
+                jnp.asarray(seq_w), jnp.asarray(is_sw), jnp.asarray(d_used),
+                jnp.float32(min_confidence), jnp.float32(min_support),
+                num_prune=num_prune, m=m, x=x, g=g,
+                a_cap=A_CAP, p_cap=P_CAP, d_chunk=D_CHUNK,
+            )
+            n_dispatches += 2
+            pending.append((chunk, built["overflow"], out))
+    t_device = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for chunk, b_ovf, (corrected, out_len, overflow, n_sub) in pending:
+        corrected = np.asarray(corrected)
+        out_len = np.asarray(out_len)
+        bad = np.asarray(overflow) | np.asarray(b_ovf)
+        for bi, wi in enumerate(chunk):
+            if bad[bi]:
+                continue
+            w = active[wi]
+            w.consensus_codes = corrected[bi, : out_len[bi]].astype(np.uint8)
+            w.polished = True
+            handled[wi] = True
+        if progress is not None:
+            progress()
+    t_fetch = time.perf_counter() - t0
+
+    n_handled = sum(handled)
+    if hasattr(backend, "t_cycle_device"):
+        backend.t_cycle_pack += t_pack
+        backend.t_cycle_device += t_device + t_fetch
+        backend.n_cycle_windows += n_handled
+        backend.n_cycle_dispatches += n_dispatches
+    if n_dispatches:
+        import sys
+
+        print(
+            f"[vechat_tpu::polish-device] full on-device round-1: "
+            f"{n_handled}/{len(active)} windows, {n_dispatches} dispatches | "
+            f"pack {t_pack:.1f}s | device {t_device:.1f}s | fetch "
+            f"{t_fetch:.1f}s",
+            file=sys.stderr,
+        )
+    return handled
+
+
 def run_device_cycle(
     active: List,
     graphs: List,

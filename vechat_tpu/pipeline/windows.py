@@ -283,6 +283,28 @@ def generate_consensus_haplotype(
     if not active:
         return
 
+    # fully device-resident round-1: incremental build AND prune cycle run
+    # as (two) jitted device programs per window batch — the graphs never
+    # exist on the host (ops/kernels/graph_build.py + graph_cycle.py);
+    # unhandled windows (capacity overflow / host backend) fall through to
+    # the host build below
+    from .device_cycle import (
+        run_device_cycle,
+        run_device_polish,
+        use_device_build,
+        use_device_cycle,
+    )
+
+    if use_device_build(backend):
+        handled = run_device_polish(
+            active, backend, min_confidence, min_support, num_prune,
+            progress=progress,
+        )
+        remaining = [i for i, h in enumerate(handled) if not h]
+        if not remaining:
+            return
+        active = [active[i] for i in remaining]
+
     graphs, totals, orders = _build_phase(
         active, backend, collect_weight=True, threads=threads,
         progress=progress,
@@ -291,8 +313,6 @@ def generate_consensus_haplotype(
     # device-resident prune cycle: the whole prune -> realign x2 -> emit
     # cycle runs on device, one round-trip per window batch; unhandled
     # windows (capacity overflow / host backend) take the classic host path
-    from .device_cycle import run_device_cycle, use_device_cycle
-
     if use_device_cycle(backend):
         handled = run_device_cycle(
             active, graphs, totals, orders, backend,
