@@ -69,6 +69,26 @@ def use_device_build(backend) -> bool:
     return getattr(backend, "supports_graph_cycle", False)
 
 
+# once a device graph program hard-fails (remote compile error, TPU worker
+# crash), stop dispatching that program this process — windows fall back to
+# the next tier instead (build broken -> host build + device cycle; cycle
+# broken -> full host path). The cudapoa-refusal pattern extended to
+# whole-program failure (SURVEY §5 failure handling).
+_broken = {"build": False, "cycle": False}
+
+
+def _mark_device_broken(kind: str, where: str, exc: Exception) -> None:
+    _broken[kind] = True
+    import sys
+
+    print(
+        f"[vechat_tpu::cycle] device graph program failed in {where}: "
+        f"{type(exc).__name__}: {str(exc)[:200]} — disabling the device "
+        f"{kind} path for this process",
+        file=sys.stderr,
+    )
+
+
 R_CAP = 8  # aligned-ring capacity (DNA: a node plus <= a handful of variants)
 
 
@@ -95,6 +115,8 @@ def run_device_polish(
     from ..pipeline.windows import _backbone_weights, _layer_order
 
     handled = [False] * len(active)
+    if _broken["build"] or _broken["cycle"]:
+        return handled
     m, x, g = backend.match, backend.mismatch, backend.gap
 
     t0 = time.perf_counter()
@@ -205,30 +227,41 @@ def run_device_polish(
                 is_sw[bi] = p["is_sw"]
                 d_used[bi] = p["d_real"]
                 avg[bi] = p["avg"]
-            built = device_build(
-                jnp.asarray(bb_codes), jnp.asarray(bb_w), jnp.asarray(bb_len),
-                jnp.asarray(lseqs), jnp.asarray(lw), jnp.asarray(llen),
-                jnp.asarray(lbegin), jnp.asarray(lend), jnp.asarray(lfull),
-                jnp.asarray(n_layers), nb, eb, R_CAP, m, x, g,
-            )
-            out = haplotype_cycle(
-                built["tails"], built["heads"], built["weights"],
-                built["n_edges"], built["codes"], built["n_nodes"],
-                jnp.asarray(avg), jnp.asarray(seqs), jnp.asarray(slen_c),
-                jnp.asarray(seq_w), jnp.asarray(is_sw), jnp.asarray(d_used),
-                jnp.float32(min_confidence), jnp.float32(min_support),
-                num_prune=num_prune, m=m, x=x, g=g,
-                a_cap=A_CAP, p_cap=P_CAP, d_chunk=D_CHUNK,
-            )
+            try:
+                built = device_build(
+                    jnp.asarray(bb_codes), jnp.asarray(bb_w),
+                    jnp.asarray(bb_len),
+                    jnp.asarray(lseqs), jnp.asarray(lw), jnp.asarray(llen),
+                    jnp.asarray(lbegin), jnp.asarray(lend),
+                    jnp.asarray(lfull),
+                    jnp.asarray(n_layers), nb, eb, R_CAP, m, x, g,
+                )
+                out = haplotype_cycle(
+                    built["tails"], built["heads"], built["weights"],
+                    built["n_edges"], built["codes"], built["n_nodes"],
+                    jnp.asarray(avg), jnp.asarray(seqs), jnp.asarray(slen_c),
+                    jnp.asarray(seq_w), jnp.asarray(is_sw),
+                    jnp.asarray(d_used),
+                    jnp.float32(min_confidence), jnp.float32(min_support),
+                    num_prune=num_prune, m=m, x=x, g=g,
+                    a_cap=A_CAP, p_cap=P_CAP, d_chunk=D_CHUNK,
+                )
+            except Exception as exc:  # noqa: BLE001 — remote compile/worker
+                _mark_device_broken("build", "device_build/haplotype_cycle", exc)
+                return handled
             n_dispatches += 2
             pending.append((chunk, built["overflow"], out))
     t_device = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     for chunk, b_ovf, (corrected, out_len, overflow, n_sub) in pending:
-        corrected = np.asarray(corrected)
-        out_len = np.asarray(out_len)
-        bad = np.asarray(overflow) | np.asarray(b_ovf)
+        try:
+            corrected = np.asarray(corrected)
+            out_len = np.asarray(out_len)
+            bad = np.asarray(overflow) | np.asarray(b_ovf)
+        except Exception as exc:  # noqa: BLE001 — device died mid-execution
+            _mark_device_broken("build", "device polish fetch", exc)
+            return handled
         for bi, wi in enumerate(chunk):
             if bad[bi]:
                 continue
@@ -276,6 +309,8 @@ def run_device_cycle(
     import jax.numpy as jnp
 
     handled = [False] * len(active)
+    if _broken["cycle"]:
+        return handled
     m, x, g = backend.match, backend.mismatch, backend.gap
 
     # ---- classify windows into shape buckets
@@ -357,24 +392,35 @@ def run_device_cycle(
                 slen[bi] = p["slen"]
                 is_sw[bi] = p["is_sw"]
                 d_used[bi] = p["d_real"]
-            out = haplotype_cycle(
-                jnp.asarray(tails), jnp.asarray(heads), jnp.asarray(weights),
-                jnp.asarray(n_edges), jnp.asarray(codes), jnp.asarray(n_nodes),
-                jnp.asarray(avg), jnp.asarray(seqs), jnp.asarray(slen),
-                jnp.asarray(seq_w), jnp.asarray(is_sw), jnp.asarray(d_used),
-                jnp.float32(min_confidence), jnp.float32(min_support),
-                num_prune=num_prune, m=m, x=x, g=g,
-                a_cap=A_CAP, p_cap=P_CAP, d_chunk=D_CHUNK,
-            )
+            try:
+                out = haplotype_cycle(
+                    jnp.asarray(tails), jnp.asarray(heads),
+                    jnp.asarray(weights),
+                    jnp.asarray(n_edges), jnp.asarray(codes),
+                    jnp.asarray(n_nodes),
+                    jnp.asarray(avg), jnp.asarray(seqs), jnp.asarray(slen),
+                    jnp.asarray(seq_w), jnp.asarray(is_sw),
+                    jnp.asarray(d_used),
+                    jnp.float32(min_confidence), jnp.float32(min_support),
+                    num_prune=num_prune, m=m, x=x, g=g,
+                    a_cap=A_CAP, p_cap=P_CAP, d_chunk=D_CHUNK,
+                )
+            except Exception as exc:  # noqa: BLE001
+                _mark_device_broken("cycle", "haplotype_cycle", exc)
+                return handled
             n_dispatches += 1
             pending.append((chunk, out))
     t_device = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     for chunk, (corrected, out_len, overflow, n_sub) in pending:
-        corrected = np.asarray(corrected)
-        out_len = np.asarray(out_len)
-        overflow = np.asarray(overflow)
+        try:
+            corrected = np.asarray(corrected)
+            out_len = np.asarray(out_len)
+            overflow = np.asarray(overflow)
+        except Exception as exc:  # noqa: BLE001
+            _mark_device_broken("cycle", "device cycle fetch", exc)
+            return handled
         for bi, wi in enumerate(chunk):
             if overflow[bi]:
                 continue  # host fallback
