@@ -155,15 +155,19 @@ def topo_ranks_bundled(
         rcnt = rcnt + jnp.where(rep_emit, 1 + av, 0)
         return emitted, in_bundle, rank_of, rank_to_node, stack, sp, rcnt
 
+    K = 4  # machine steps per while iteration (finished windows no-op)
+
     def cond(st):
         it, inner = st
-        return (it < 3 * N + 2) & jnp.any(
+        return (it < 3 * N + 2 + K) & jnp.any(
             (inner[5] > 0) | (inner[6] < n_nodes)
         )
 
     def body(st):
         it, inner = st
-        return it + 1, step(inner)
+        for _ in range(K):
+            inner = step(inner)
+        return it + K, inner
 
     state = (emitted, in_bundle, rank_of, rank_to_node, stack, sp, rcnt)
     _, state = lax.while_loop(cond, body, (jnp.int32(0), state))
@@ -298,7 +302,9 @@ def fuse_alignments(
     def walk_body(k, st):
         (codes, n_nodes, tails, heads, weights, n_edges, overflow,
          aligned, acount, prev) = st
-        in_rgn = active_w & (k >= L - count) & ~no_aln
+        # k < L guard: the unrolled caller may overstep the pair region
+        in_rgn = active_w & (k >= L - count) & (k < L) & ~no_aln
+        k = jnp.minimum(k, L - 1)
         a_n = an[bidx, k]
         a_p = ap[bidx, k]
         do = in_rgn & (a_p >= 0)
@@ -374,7 +380,17 @@ def fuse_alignments(
 
     st = (codes, n_nodes, tails, heads, weights, n_edges, overflow,
           aligned, acount, prefix_prev)
-    st = lax.fori_loop(0, L, walk_body, st)
+    # 4 pair steps per loop iteration (out-of-region steps no-op), cutting
+    # the sequential walk's per-iteration overhead — the dominant cost of
+    # the machine loops on TPU
+    KU = 4
+
+    def walk4(k4, st):
+        for u in range(KU):
+            st = walk_body(k4 * KU + u, st)
+        return st
+
+    st = lax.fori_loop(0, -(-L // KU), walk4, st)
     (codes, n_nodes, tails, heads, weights, n_edges, overflow,
      aligned, acount, walk_prev) = st
 

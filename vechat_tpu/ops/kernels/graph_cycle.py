@@ -343,13 +343,20 @@ def dfs_preorder(
 
     state = (visited, new_id, order, stack, pptr, sp, cnt)
 
+    # K machine steps per while iteration: a finished window's step is a
+    # no-op, so over-stepping is safe and the per-iteration loop overhead
+    # (the dominant cost of these tiny-op machines on TPU) amortizes K-fold
+    K = 4
+
     def cond(st):
         it, inner = st
-        return (it < 2 * N + 1) & jnp.any(inner[5] > 0)
+        return (it < 2 * N + 1 + K) & jnp.any(inner[5] > 0)
 
     def body(st):
         it, inner = st
-        return it + 1, step(it, inner)
+        for _ in range(K):
+            inner = step(it, inner)
+        return it + K, inner
 
     _, state = lax.while_loop(cond, body, (jnp.int32(0), state))
     visited, new_id, order, stack, pptr, sp, cnt = state
@@ -514,16 +521,21 @@ def topo_ranks(
     state = (emitted, rank_of, rank_to_node, stack, sp, cnt)
 
     # steps: N pushes + N emits + up to N rooting steps interleaved;
-    # early-exits once every window has emitted all n_sub nodes
+    # early-exits once every window has emitted all n_sub nodes. K steps
+    # per iteration amortize the loop overhead (finished windows no-op).
+    K = 4
+
     def cond(st):
         it, inner = st
-        return (it < 3 * N + 2) & jnp.any(
+        return (it < 3 * N + 2 + K) & jnp.any(
             (inner[4] > 0) | (inner[5] < n_sub)
         )
 
     def body(st):
         it, inner = st
-        return it + 1, step(it, inner)
+        for _ in range(K):
+            inner = step(it, inner)
+        return it + K, inner
 
     _, state = lax.while_loop(cond, body, (jnp.int32(0), state))
     emitted, rank_of, rank_to_node, stack, sp, cnt = state
@@ -744,13 +756,17 @@ def poa_align_mixed(
     k0 = jnp.zeros((B, D), jnp.int32)
     active0 = cond_alive(i0, j0) & (~start_empty)
 
+    KU = 4  # walk steps per while iteration (inactive walks no-op)
+
     def tb_cond(state):
         step, (i, j, k, active, pairs) = state
         return (step < L) & jnp.any(active)
 
     def tb_body(state):
         step, inner = state
-        return step + 1, tb_step(step, inner)
+        for _ in range(KU):
+            inner = tb_step(step, inner)
+        return step + KU, inner
 
     _, (_, _, count, _, pairs) = lax.while_loop(
         tb_cond, tb_body, (jnp.int32(0), (i0, j0, k0, active0, pairs0))

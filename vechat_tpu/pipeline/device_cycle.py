@@ -187,8 +187,12 @@ def run_device_polish(
     n_dispatches = 0
     for (nb, db, sb), wis in sorted(buckets.items()):
         eb = 2 * nb
-        for off in range(0, len(wis), B_LADDER[-1]):
-            chunk = wis[off : off + B_LADDER[-1]]
+        # the remote TPU worker crashes executing device_build at the
+        # largest (B, N, SMAX, W) combination; B=16 at the same shape is
+        # stable (bisected on silicon) — cap the batch for big buckets
+        b_max = 16 if (nb >= 1152 and sb >= 576) else B_LADDER[-1]
+        for off in range(0, len(wis), b_max):
+            chunk = wis[off : off + b_max]
             B = _bucket(len(chunk), B_LADDER) or len(chunk)
             bb_codes = np.zeros((B, sb), np.int32)
             bb_w = np.zeros((B, sb), np.int32)
