@@ -92,6 +92,16 @@ def main():
         help="score at most N corrected reads (0 = all; large configs "
         "cannot afford whole-genome edit distances per read)",
     )
+    ap.add_argument(
+        "--repeat",
+        type=int,
+        default=1,
+        help="run the full pipeline N times in-process and report each wall "
+        "separately. The axon device tunnel cannot persist XLA executables "
+        "across processes (remote compile), so run 1 is cold (compile-"
+        "dominated) and run 2+ is the steady-state device throughput — the "
+        "number that matters for a long chunked run where compiles amortize",
+    )
     args = ap.parse_args()
 
     from vechat_tpu.io.fastx import SeqRecord, write_fastx
@@ -140,10 +150,18 @@ def main():
         argv += ["--split", "--split-size", str(args.split_size)]
     if args.resume_dir:
         argv += ["--resume-dir", args.resume_dir]
-    t0 = time.perf_counter()
-    rc = vechat_main(argv)
-    dt = time.perf_counter() - t0
-    assert rc == 0
+    walls = []
+    for rep in range(max(1, args.repeat)):
+        t0 = time.perf_counter()
+        rc = vechat_main(argv)
+        walls.append(time.perf_counter() - t0)
+        assert rc == 0
+        if args.repeat > 1:
+            print(
+                f"[e2e] run {rep + 1}/{args.repeat}: wall={walls[-1]:.1f}s "
+                f"({'cold' if rep == 0 else 'warm'})"
+            )
+    dt = walls[-1]
     corrected = read_fastx(outp)
 
     name_to_truth = {f"r{i}": truth[i] for i in range(args.reads)}

@@ -192,11 +192,21 @@ def fuse_alignments(
     seq_w: jnp.ndarray,  # [B, W] int32 per-base weights
     seq_len: jnp.ndarray,  # [B] int32
     active_w: jnp.ndarray,  # [B] bool: window participates this step
+    lab_lo: jnp.ndarray = None,  # [B, E] int32 edge label bitmask (seqs 0-31)
+    lab_hi: jnp.ndarray = None,  # [B, E] int32 edge label bitmask (seqs 32-63)
+    bit_lo: jnp.ndarray = None,  # [B] int32 this sequence's label bit
+    bit_hi: jnp.ndarray = None,  # [B] int32
 ):
     """One AddAlignment per window, batched (graph.cpp:182-299 semantics;
     csrc/poagraph.cpp:142-201). Sequential walk per window over the pair
     stream, vector-parallel across windows. Returns the updated graph
-    arrays + overflow flag."""
+    arrays + overflow flag.
+
+    Edge labels: spoa records on every edge the set of sequences that
+    traverse it (graph.cpp AddEdge label emplace; used only by consensus
+    Coverage, graph.cpp:38-56). With sequence depth capped at 64 the set is
+    two int32 bitmask words per edge; merge-or-append ORs the current
+    sequence's bit in. Pass None to skip label tracking."""
     B, N = codes.shape
     E = tails.shape[1]
     R = aligned.shape[2]
@@ -204,6 +214,12 @@ def fuse_alignments(
     bidx = jnp.arange(B)
     arangeR = jnp.arange(R, dtype=jnp.int32)
     arangeE = jnp.arange(E, dtype=jnp.int32)
+    track_labels = lab_lo is not None
+    if not track_labels:
+        lab_lo = jnp.zeros((B, 1), jnp.int32)
+        lab_hi = jnp.zeros((B, 1), jnp.int32)
+        bit_lo = jnp.zeros((B,), jnp.int32)
+        bit_hi = jnp.zeros((B,), jnp.int32)
 
     an = pairs[:, :, 0]
     ap = pairs[:, :, 1]
@@ -233,7 +249,7 @@ def fuse_alignments(
 
     def add_edge(est, t, h, w, do):
         """Merge into existing (t->h) else append (graph.cpp:94-107)."""
-        tails, heads, weights, n_edges, overflow = est
+        tails, heads, weights, n_edges, overflow, lab_lo, lab_hi = est
         hit = (
             (tails == t[:, None])
             & (heads == h[:, None])
@@ -249,9 +265,23 @@ def fuse_alignments(
         tails = tails.at[bidx, jnp.where(app, pos, E)].set(t, mode="drop")
         heads = heads.at[bidx, jnp.where(app, pos, E)].set(h, mode="drop")
         weights = weights.at[bidx, jnp.where(app, pos, E)].set(w, mode="drop")
+        if track_labels:
+            # OR the sequence bit in: touched edge = merged-into or appended
+            touched = jnp.where(do, jnp.where(found, eidx, pos), E)
+            # bitwise OR via two complementary scatters: lab | bit ==
+            # lab + bit - (lab & bit); use max trick instead — per-word OR
+            # decomposes as set when appended (lab was 0) and add of the
+            # missing bit when merged
+            cur_lo = lab_lo[bidx, jnp.minimum(touched, E - 1)]
+            cur_hi = lab_hi[bidx, jnp.minimum(touched, E - 1)]
+            app_mask = app
+            new_lo = jnp.where(app_mask, bit_lo, cur_lo | bit_lo)
+            new_hi = jnp.where(app_mask, bit_hi, cur_hi | bit_hi)
+            lab_lo = lab_lo.at[bidx, touched].set(new_lo, mode="drop")
+            lab_hi = lab_hi.at[bidx, touched].set(new_hi, mode="drop")
         overflow = overflow | (app & (n_edges >= E))
         n_edges = n_edges + jnp.where(app, 1, 0)
-        return (tails, heads, weights, n_edges, overflow)
+        return (tails, heads, weights, n_edges, overflow, lab_lo, lab_hi)
 
     # ---- phase 1+2: unaligned prefix run [0, vfront) and suffix run
     # [vback+1, slen) — chains of fresh nodes, ids allocated prefix first,
@@ -259,11 +289,11 @@ def fuse_alignments(
     def run_phase(carry, lo, hi, phase_active):
         """Masked chain loop: i in [lo, hi), prev chains within the run."""
         (codes, n_nodes, tails, heads, weights, n_edges, overflow,
-         prev, first) = carry
+         lab_lo, lab_hi, prev, first) = carry
 
         def body(k, st):
             (codes, n_nodes, tails, heads, weights, n_edges, overflow,
-             prev, first) = st
+             lab_lo, lab_hi, prev, first) = st
             i = lo + k
             do = phase_active & (i < hi)
             code = seq[bidx, jnp.clip(i, 0, seq.shape[1] - 1)]
@@ -272,14 +302,14 @@ def fuse_alignments(
                 bidx, jnp.clip(i, 0, seq.shape[1] - 1)
             ]
             est = add_edge(
-                (tails, heads, weights, n_edges, overflow),
+                (tails, heads, weights, n_edges, overflow, lab_lo, lab_hi),
                 prev, nid, w, do & (prev >= 0) & (i > lo),
             )
-            tails, heads, weights, n_edges, overflow = est
+            tails, heads, weights, n_edges, overflow, lab_lo, lab_hi = est
             first = jnp.where(do & (first < 0), nid, first)
             prev = jnp.where(do, nid, prev)
             return (codes, n_nodes, tails, heads, weights, n_edges,
-                    overflow, prev, first)
+                    overflow, lab_lo, lab_hi, prev, first)
 
         n_steps = jnp.max(jnp.where(phase_active, hi - lo, 0))
         return lax.fori_loop(0, jnp.maximum(n_steps, 0), body, carry)
@@ -287,21 +317,22 @@ def fuse_alignments(
     prev0 = jnp.full((B,), -1, jnp.int32)
     first0 = jnp.full((B,), -1, jnp.int32)
     carry = (codes, n_nodes, tails, heads, weights, n_edges, overflow,
-             prev0, first0)
+             lab_lo, lab_hi, prev0, first0)
     carry = run_phase(carry, jnp.zeros((B,), jnp.int32), vfront, active_w)
     (codes, n_nodes, tails, heads, weights, n_edges, overflow,
-     prefix_prev, _) = carry
+     lab_lo, lab_hi, prefix_prev, _) = carry
 
     carry = (codes, n_nodes, tails, heads, weights, n_edges, overflow,
+             lab_lo, lab_hi,
              jnp.full((B,), -1, jnp.int32), jnp.full((B,), -1, jnp.int32))
     carry = run_phase(carry, vback + 1, seq_len, active_w)
     (codes, n_nodes, tails, heads, weights, n_edges, overflow,
-     _, suffix_first) = carry
+     lab_lo, lab_hi, _, suffix_first) = carry
 
     # ---- phase 3: matched-pair walk (graph.cpp:238-292)
     def walk_body(k, st):
         (codes, n_nodes, tails, heads, weights, n_edges, overflow,
-         aligned, acount, prev) = st
+         lab_lo, lab_hi, aligned, acount, prev) = st
         # k < L guard: the unrolled caller may overstep the pair region
         in_rgn = active_w & (k >= L - count) & (k < L) & ~no_aln
         k = jnp.minimum(k, L - 1)
@@ -370,16 +401,16 @@ def fuse_alignments(
             bidx, jnp.clip(a_p, 0, seq.shape[1] - 1)
         ]
         est = add_edge(
-            (tails, heads, weights, n_edges, overflow),
+            (tails, heads, weights, n_edges, overflow, lab_lo, lab_hi),
             prev, curr, w, do & (prev >= 0),
         )
-        tails, heads, weights, n_edges, overflow = est
+        tails, heads, weights, n_edges, overflow, lab_lo, lab_hi = est
         prev = jnp.where(do, curr, prev)
         return (codes, n_nodes, tails, heads, weights, n_edges, overflow,
-                aligned, acount, prev)
+                lab_lo, lab_hi, aligned, acount, prev)
 
     st = (codes, n_nodes, tails, heads, weights, n_edges, overflow,
-          aligned, acount, prefix_prev)
+          lab_lo, lab_hi, aligned, acount, prefix_prev)
     # 4 pair steps per loop iteration (out-of-region steps no-op), cutting
     # the sequential walk's per-iteration overhead — the dominant cost of
     # the machine loops on TPU
@@ -392,21 +423,21 @@ def fuse_alignments(
 
     st = lax.fori_loop(0, -(-L // KU), walk4, st)
     (codes, n_nodes, tails, heads, weights, n_edges, overflow,
-     aligned, acount, walk_prev) = st
+     lab_lo, lab_hi, aligned, acount, walk_prev) = st
 
     # ---- final: bridge into the suffix run (csrc/poagraph.cpp:196-198)
     w_last = seq_w[bidx, jnp.clip(vback, 0, seq.shape[1] - 1)] + seq_w[
         bidx, jnp.clip(vback + 1, 0, seq.shape[1] - 1)
     ]
     est = add_edge(
-        (tails, heads, weights, n_edges, overflow),
+        (tails, heads, weights, n_edges, overflow, lab_lo, lab_hi),
         walk_prev, suffix_first, w_last,
         active_w & (suffix_first >= 0) & (walk_prev >= 0) & ~no_aln,
     )
-    tails, heads, weights, n_edges, overflow = est
+    tails, heads, weights, n_edges, overflow, lab_lo, lab_hi = est
     overflow = overflow | (n_nodes > N) | (n_edges > E)
     return (codes, tails, heads, weights, n_nodes, n_edges,
-            aligned, acount, overflow)
+            aligned, acount, overflow, lab_lo, lab_hi)
 
 
 # ------------------------------------------------------- positional subgraph
@@ -539,7 +570,9 @@ import functools  # noqa: E402
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_cap", "e_cap", "r_cap", "m", "x", "g", "p_cap"),
+    static_argnames=(
+        "n_cap", "e_cap", "r_cap", "m", "x", "g", "p_cap", "track_labels",
+    ),
 )
 def device_build(
     bb_codes: jnp.ndarray,  # [B, W] int32 backbone codes
@@ -559,6 +592,7 @@ def device_build(
     x: int,
     g: int,
     p_cap: int = 16,
+    track_labels: bool = False,
 ):
     """The whole incremental build phase as ONE device program
     (src/window.cpp:84-136 build loop; graph.cpp:182-299 AddAlignment):
@@ -593,6 +627,14 @@ def device_build(
     aligned = jnp.zeros((B, N, R), jnp.int32)
     acount = jnp.zeros((B, N), jnp.int32)
     overflow = bb_len > N
+    # edge label bitmasks (sequence sets for consensus Coverage); backbone
+    # chain edges carry label 0
+    if track_labels:
+        lab_lo = jnp.where(chain_on, jnp.int32(1), 0)
+        lab_hi = jnp.zeros((B, E), jnp.int32)
+    else:
+        lab_lo = jnp.zeros((B, 1), jnp.int32)
+        lab_hi = jnp.zeros((B, 1), jnp.int32)
 
     from .graph_cycle import (
         build_dp_arrays,
@@ -603,7 +645,7 @@ def device_build(
 
     def step(s, st):
         (codes, tails, heads, weights, n_nodes, n_edges,
-         aligned, acount, overflow) = st
+         aligned, acount, overflow, lab_lo, lab_hi) = st
         active = s < n_layers
         seq = lseqs[:, s, :]
         w_s = lw[:, s, :]
@@ -642,23 +684,41 @@ def device_build(
         pairs = jnp.stack(
             [jnp.where(pn >= 0, mapped, pn), pairs[:, :, 1]], axis=2
         )
+        if track_labels:
+            # sequence index of layer s is s+1 (backbone = 0); its label bit
+            j = (s + 1).astype(jnp.int32)
+            b_lo = jnp.where(
+                j < 32, jnp.left_shift(jnp.int32(1), jnp.minimum(j, 31)), 0
+            )
+            b_hi = jnp.where(
+                j >= 32,
+                jnp.left_shift(jnp.int32(1), jnp.clip(j - 32, 0, 31)),
+                0,
+            )
+            b_lo = jnp.broadcast_to(b_lo, (B,))
+            b_hi = jnp.broadcast_to(b_hi, (B,))
+        else:
+            b_lo = b_hi = None
         (codes, tails, heads, weights, n_nodes, n_edges,
-         aligned, acount, ovf_f) = fuse_alignments(
+         aligned, acount, ovf_f, lab_lo, lab_hi) = fuse_alignments(
             codes, tails, heads, weights, n_nodes, n_edges,
             aligned, acount, pairs, jnp.where(active, count[:, 0], 0),
             seq, w_s, slen, active,
+            lab_lo=lab_lo if track_labels else None,
+            lab_hi=lab_hi if track_labels else None,
+            bit_lo=b_lo, bit_hi=b_hi,
         )
         overflow = overflow | (active & (ovf_p | ovf_f))
         return (codes, tails, heads, weights, n_nodes, n_edges,
-                aligned, acount, overflow)
+                aligned, acount, overflow, lab_lo, lab_hi)
 
     st = (codes, tails, heads, weights, n_nodes, n_edges,
-          aligned, acount, overflow)
+          aligned, acount, overflow, lab_lo, lab_hi)
     st = lax.fori_loop(0, jnp.max(n_layers), step, st)
     (codes, tails, heads, weights, n_nodes, n_edges,
-     aligned, acount, overflow) = st
+     aligned, acount, overflow, lab_lo, lab_hi) = st
     return dict(
         codes=codes, tails=tails, heads=heads, weights=weights,
         n_nodes=n_nodes, n_edges=n_edges, aligned=aligned, acount=acount,
-        overflow=overflow,
+        overflow=overflow, lab_lo=lab_lo, lab_hi=lab_hi,
     )

@@ -69,12 +69,21 @@ def use_device_build(backend) -> bool:
     return getattr(backend, "supports_graph_cycle", False)
 
 
+def use_device_linear(backend) -> bool:
+    """Full on-device round-2 (build + heaviest-bundle consensus + trim)
+    unless disabled."""
+    flag = os.environ.get("VECHAT_DEVICE_LINEAR")
+    if flag is not None:
+        return flag not in ("0", "", "off")
+    return getattr(backend, "supports_graph_cycle", False)
+
+
 # once a device graph program hard-fails (remote compile error, TPU worker
 # crash), stop dispatching that program this process — windows fall back to
 # the next tier instead (build broken -> host build + device cycle; cycle
 # broken -> full host path). The cudapoa-refusal pattern extended to
 # whole-program failure (SURVEY §5 failure handling).
-_broken = {"build": False, "cycle": False}
+_broken = {"build": False, "cycle": False, "linear": False}
 
 
 def _mark_device_broken(kind: str, where: str, exc: Exception) -> None:
@@ -288,6 +297,159 @@ def run_device_polish(
 
         print(
             f"[vechat_tpu::polish-device] full on-device round-1: "
+            f"{n_handled}/{len(active)} windows, {n_dispatches} dispatches | "
+            f"pack {t_pack:.1f}s | device {t_device:.1f}s | fetch "
+            f"{t_fetch:.1f}s",
+            file=sys.stderr,
+        )
+    return handled
+
+
+def run_device_linear(
+    active: List,
+    backend,
+    trim: bool,
+    progress=None,
+) -> List[bool]:
+    """Round-2 (plain racon) window consensus entirely on device: the
+    incremental build feeds heaviest-bundle consensus + coverage trim as ONE
+    jitted program per window batch (graph_consensus.device_linear),
+    replacing the per-layer-step dispatches of the generic backend path.
+    Sets consensus on handled windows; returns the handled mask."""
+    import jax.numpy as jnp
+
+    from ..ops.kernels.graph_consensus import device_linear
+    from ..pipeline.windows import (
+        WINDOW_TYPE_TGS,
+        _backbone_weights,
+        _layer_order,
+    )
+
+    handled = [False] * len(active)
+    if _broken["linear"]:
+        return handled
+    m, x, g = backend.match, backend.mismatch, backend.gap
+
+    t0 = time.perf_counter()
+    buckets = {}
+    packs: List[Optional[dict]] = [None] * len(active)
+    for wi, w in enumerate(active):
+        blen = len(w.backbone_codes)
+        offset = int(0.01 * blen)
+        d_real = 1 + len(w.layers)
+        s_max = max([blen] + [len(l.codes) for l in w.layers])
+        nb = _bucket(max(blen * 2, 256), N_LADDER)
+        db = _bucket(d_real, D_LADDER)
+        sb = _bucket(s_max, S_LADDER)
+        if nb is None or db is None or sb is None:
+            continue
+        order = _layer_order(w)
+        seqs = np.full((db - 1, sb), 0xFF, np.int32)
+        bw = np.ones((db - 1, sb), np.int32)
+        slen = np.ones(db - 1, np.int32)
+        begin = np.zeros(db - 1, np.int32)
+        end = np.zeros(db - 1, np.int32)
+        full = np.zeros(db - 1, bool)
+        for j, oi in enumerate(order):
+            l = w.layers[oi]
+            seqs[j, : len(l.codes)] = l.codes
+            bw[j, : len(l.codes)] = phred_weights(l.quality, len(l.codes))
+            slen[j] = len(l.codes)
+            begin[j] = l.begin
+            end[j] = l.end
+            full[j] = l.begin < offset and l.end > blen - offset
+        packs[wi] = dict(
+            seqs=seqs, bw=bw, slen=slen, begin=begin, end=end, full=full,
+            n_layers=d_real - 1,
+            do_trim=trim and w.window_type == WINDOW_TYPE_TGS,
+        )
+        buckets.setdefault((nb, db, sb), []).append(wi)
+    t_pack = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pending = []
+    n_dispatches = 0
+    for (nb, db, sb), wis in sorted(buckets.items()):
+        eb = 2 * nb
+        b_max = 16 if (nb >= 1152 and sb >= 576) else B_LADDER[-1]
+        for off in range(0, len(wis), b_max):
+            chunk = wis[off : off + b_max]
+            B = _bucket(len(chunk), B_LADDER) or len(chunk)
+            bb_codes = np.zeros((B, sb), np.int32)
+            bb_w = np.zeros((B, sb), np.int32)
+            bb_len = np.ones(B, np.int32)
+            lseqs = np.full((B, db - 1, sb), 0xFF, np.int32)
+            lw = np.ones((B, db - 1, sb), np.int32)
+            llen = np.ones((B, db - 1), np.int32)
+            lbegin = np.zeros((B, db - 1), np.int32)
+            lend = np.zeros((B, db - 1), np.int32)
+            lfull = np.zeros((B, db - 1), bool)
+            n_layers = np.zeros(B, np.int32)
+            do_trim = np.zeros(B, bool)
+            for bi, wi in enumerate(chunk):
+                p = packs[wi]
+                w = active[wi]
+                bb = w.backbone_codes
+                bb_codes[bi, : len(bb)] = bb
+                bb_w[bi, : len(bb)] = _backbone_weights(w)
+                bb_len[bi] = len(bb)
+                nl = p["n_layers"]
+                lseqs[bi, :nl] = p["seqs"][:nl]
+                lw[bi, :nl] = p["bw"][:nl]
+                llen[bi, :nl] = p["slen"][:nl]
+                lbegin[bi, :nl] = p["begin"][:nl]
+                lend[bi, :nl] = p["end"][:nl]
+                lfull[bi, :nl] = p["full"][:nl]
+                n_layers[bi] = nl
+                do_trim[bi] = p["do_trim"]
+            try:
+                out = device_linear(
+                    jnp.asarray(bb_codes), jnp.asarray(bb_w),
+                    jnp.asarray(bb_len),
+                    jnp.asarray(lseqs), jnp.asarray(lw), jnp.asarray(llen),
+                    jnp.asarray(lbegin), jnp.asarray(lend),
+                    jnp.asarray(lfull),
+                    jnp.asarray(n_layers), jnp.asarray(do_trim),
+                    nb, eb, R_CAP, m, x, g, p_cap=P_CAP,
+                )
+            except Exception as exc:  # noqa: BLE001 — remote compile/worker
+                _mark_device_broken("linear", "device_linear", exc)
+                return handled
+            n_dispatches += 1
+            pending.append((chunk, out))
+    t_device = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for chunk, (corrected, out_len, overflow) in pending:
+        try:
+            corrected = np.asarray(corrected)
+            out_len = np.asarray(out_len)
+            overflow = np.asarray(overflow)
+        except Exception as exc:  # noqa: BLE001 — device died mid-execution
+            _mark_device_broken("linear", "device linear fetch", exc)
+            return handled
+        for bi, wi in enumerate(chunk):
+            if overflow[bi]:
+                continue
+            w = active[wi]
+            w.consensus_codes = corrected[bi, : out_len[bi]].astype(np.uint8)
+            w.polished = True
+            handled[wi] = True
+        if progress is not None:
+            progress()
+    t_fetch = time.perf_counter() - t0
+
+    n_handled = sum(handled)
+    if hasattr(backend, "t_cycle_device"):
+        backend.t_cycle_pack += t_pack
+        backend.t_cycle_device += t_device + t_fetch
+        backend.n_cycle_windows += n_handled
+        backend.n_cycle_dispatches += n_dispatches
+    if n_dispatches:
+        import sys
+
+        print(
+            f"[vechat_tpu::linear-device] full on-device round-2: "
             f"{n_handled}/{len(active)} windows, {n_dispatches} dispatches | "
             f"pack {t_pack:.1f}s | device {t_device:.1f}s | fetch "
             f"{t_fetch:.1f}s",

@@ -234,6 +234,19 @@ def generate_consensus_linear(
     if not active:
         return
 
+    # fully device-resident round-2: build + heaviest-bundle consensus +
+    # coverage trim as one jitted program per window batch; unhandled
+    # windows (capacity overflow / host backend) fall through to the host
+    # build below
+    from .device_cycle import run_device_linear, use_device_linear
+
+    if use_device_linear(backend):
+        handled = run_device_linear(active, backend, trim, progress=progress)
+        remaining = [i for i, h in enumerate(handled) if not h]
+        if not remaining:
+            return
+        active = [active[i] for i in remaining]
+
     graphs, _, _ = _build_phase(
         active, backend, collect_weight=False, threads=threads,
         progress=progress,
