@@ -36,14 +36,53 @@ _u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
 _u32p = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
 
 
+def _loads_ok(path: str) -> bool:
+    """Probe the lib in a SUBPROCESS: a stale -march=native build on a
+    machine without those ISA extensions dies with SIGILL, which cannot be
+    caught in-process."""
+    code = (
+        "import ctypes,sys;l=ctypes.CDLL(sys.argv[1]);"
+        "l.poa_create.restype=ctypes.c_void_p;"
+        "l.poa_free.argtypes=[ctypes.c_void_p];l.poa_free(l.poa_create())"
+    )
+    try:
+        r = subprocess.run(
+            ["python3", "-c", code, path], capture_output=True, timeout=30
+        )
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
 def _build():
     if not os.path.exists(_SRC):
         return None
-    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _LIB]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True, timeout=180)
-        except Exception:
+    stale = not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(
+        _SRC
+    )
+    if not stale and not _loads_ok(_LIB):
+        stale = True  # prebuilt for a different ISA (e.g. AVX-512 elsewhere)
+    if stale:
+        # -march=native: the candidate loop of align_linear auto-vectorizes
+        # (AVX-512: 16 int32 lanes; measured 2.3x realign throughput,
+        # scripts/host_dp_bench.py). int32 arithmetic is ISA-independent so
+        # results stay byte-identical. Falls back to portable -O3 when the
+        # native build fails or does not load.
+        built = False
+        for extra in (["-march=native", "-funroll-loops"], []):
+            cmd = (
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC"]
+                + extra
+                + [_SRC, "-o", _LIB]
+            )
+            try:
+                subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+            except Exception:
+                continue
+            if _loads_ok(_LIB):
+                built = True
+                break
+        if not built:
             return None
     lib = ctypes.CDLL(_LIB)
     lib.poa_create.restype = ctypes.c_void_p
