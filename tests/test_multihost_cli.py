@@ -71,11 +71,15 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 jax.config.update("jax_platforms", "cpu")
 pid = int(sys.argv[1]); n = int(sys.argv[2]); port = sys.argv[3]
+os.environ["VECHAT_ALLGATHER_CHUNK"] = "64"  # force the multi-slice path
 jax.distributed.initialize(f"localhost:{port}", num_processes=n, process_id=pid)
 from vechat_tpu.parallel.dist import ProcessGroup, allgather_records
 from vechat_tpu.io.fastx import SeqRecord
 group = ProcessGroup(pid, n)
 mine = [SeqRecord(f"p{pid}r{i} LN:i:{i}", "ACGT" * (pid + i + 1)) for i in range(2)]
+# ragged payloads spanning several 64-byte gather slices on one rank only
+if pid == 1:
+    mine.append(SeqRecord("p1big LN:i:9", "TGCA" * 100))
 out = allgather_records(mine, group)
 print(json.dumps([[r.name, r.data] for r in out]))
 """
@@ -113,7 +117,10 @@ def test_allgather_records_two_process(tmp_path):
     a, b = (json.loads(o) for o in outs)
     assert a == b  # both processes see the same merged, rank-ordered set
     names = [n for n, _ in a]
-    assert names == ["p0r0 LN:i:0", "p0r1 LN:i:1", "p1r0 LN:i:0", "p1r1 LN:i:1"]
+    assert names == [
+        "p0r0 LN:i:0", "p0r1 LN:i:1", "p1r0 LN:i:0", "p1r1 LN:i:1", "p1big LN:i:9",
+    ]
+    assert dict(a)["p1big LN:i:9"] == "TGCA" * 100  # multi-slice reassembly
 
 
 def test_three_process_equals_one_process(dataset, tmp_path):

@@ -107,16 +107,30 @@ def allgather_records(
 
     payload = "\x00".join(f"{r.name}\x01{r.data}" for r in records).encode()
     arr = np.frombuffer(payload, dtype=np.uint8)
-    # pad to the max length across hosts
     n = np.array([len(arr)], dtype=np.int32)
     all_n = multihost_utils.process_allgather(n)
     max_n = int(all_n.max())
-    padded = np.zeros(max_n, dtype=np.uint8)
-    padded[: len(arr)] = arr
-    gathered = multihost_utils.process_allgather(padded)
+    # gather in bounded slices: padding every rank to the global max and
+    # gathering at once makes the transient footprint O(P * max_payload) —
+    # at Gbp scale that is the largest allocation of the whole run. Slicing
+    # caps the transient at O(P * CHUNK) while the assembled blobs only ever
+    # hold real bytes.
+    CHUNK = int(os.environ.get("VECHAT_ALLGATHER_CHUNK", 16 << 20))
+    blobs = [bytearray() for _ in range(group.num_processes)]
+    for off in range(0, max_n, CHUNK):
+        width = min(CHUNK, max_n - off)
+        piece = np.zeros(width, dtype=np.uint8)
+        if off < len(arr):
+            src = arr[off : off + width]
+            piece[: len(src)] = src
+        gathered = np.asarray(multihost_utils.process_allgather(piece))
+        for pid in range(group.num_processes):
+            take = min(max(int(all_n[pid][0]) - off, 0), width)
+            if take:
+                blobs[pid] += bytes(gathered[pid][:take])
     out: List[SeqRecord] = []
     for pid in range(group.num_processes):
-        blob = bytes(gathered[pid][: int(all_n[pid][0])]).decode()
+        blob = blobs[pid].decode()
         if not blob:
             continue
         for item in blob.split("\x00"):
