@@ -173,7 +173,13 @@ def test_device_linear_through_driver_env():
     ws_host.append(thin_h)
     ws_dev.append(thin_d)
 
+    import os
+
     generate_consensus_linear(ws_host, HostAlignerBackend(3, -5, -4), True)
-    generate_consensus_linear(ws_dev, _DevBackend(), True)
+    os.environ["VECHAT_DEVICE_LINEAR"] = "1"  # device placement is opt-in
+    try:
+        generate_consensus_linear(ws_dev, _DevBackend(), True)
+    finally:
+        del os.environ["VECHAT_DEVICE_LINEAR"]
     _windows_equal(ws_host, ws_dev)
     assert not ws_dev[1].polished

@@ -43,12 +43,26 @@ def _bucket(v, ladder):
     return None
 
 
+# Placement default, measured on silicon (BENCH_banked_r04.json
+# device_path_ab): the per-layer-dispatch path — host C++ graph ops (AVX) +
+# batched Pallas alignment per layer step — runs round 1 warm in ~61 s for a
+# 205-window batch vs ~500 s for the fully device-resident machines, whose
+# XLA row-loop DP carries ~36x padding (P=16 pred slots materialized, full-N
+# rows) and whose stack machines pay per-iteration while_loop overhead. The
+# device-resident programs stay available (VECHAT_DEVICE_BUILD/CYCLE/
+# LINEAR=1) for dispatch-bound regimes — thin links where per-dispatch
+# latency, not device execution, dominates — and are what dryrun_multichip
+# shards. The reference's CUDA path made the same placement trade in the
+# opposite direction: cudapoa ran plain consensus only, pruning stayed on
+# CPU (src/cuda/cudapolisher.cpp:294,365-366).
 def use_device_cycle(backend) -> bool:
-    """The cycle engages for device backends unless explicitly disabled."""
+    """Device-resident prune cycle: opt-in via VECHAT_DEVICE_CYCLE=1."""
     flag = os.environ.get("VECHAT_DEVICE_CYCLE")
     if flag is not None:
-        return flag not in ("0", "", "off")
-    return getattr(backend, "supports_graph_cycle", False)
+        return flag not in ("0", "", "off") and getattr(
+            backend, "supports_graph_cycle", False
+        )
+    return False
 
 
 def _window_avg_weight(w, total: float) -> float:
@@ -62,20 +76,25 @@ def _window_avg_weight(w, total: float) -> float:
 
 
 def use_device_build(backend) -> bool:
-    """Full on-device round-1 (build + cycle) unless disabled."""
+    """Full on-device round-1 (build + cycle): opt-in via
+    VECHAT_DEVICE_BUILD=1 (see placement note above)."""
     flag = os.environ.get("VECHAT_DEVICE_BUILD")
     if flag is not None:
-        return flag not in ("0", "", "off")
-    return getattr(backend, "supports_graph_cycle", False)
+        return flag not in ("0", "", "off") and getattr(
+            backend, "supports_graph_cycle", False
+        )
+    return False
 
 
 def use_device_linear(backend) -> bool:
-    """Full on-device round-2 (build + heaviest-bundle consensus + trim)
-    unless disabled."""
+    """Full on-device round-2 (build + heaviest-bundle consensus + trim):
+    opt-in via VECHAT_DEVICE_LINEAR=1 (see placement note above)."""
     flag = os.environ.get("VECHAT_DEVICE_LINEAR")
     if flag is not None:
-        return flag not in ("0", "", "off")
-    return getattr(backend, "supports_graph_cycle", False)
+        return flag not in ("0", "", "off") and getattr(
+            backend, "supports_graph_cycle", False
+        )
+    return False
 
 
 # once a device graph program hard-fails (remote compile error, TPU worker
