@@ -375,18 +375,23 @@ def main():
 
     # pipeline-level side metrics (BASELINE.md tracked: windows/sec,
     # corrected reads/sec) — full 2-round pipeline on a synthetic 2-strain
-    # set through the real CLI. Host backend by default: at 40 reads the
-    # device path measures the ~65 ms tunnel round-trips, not the pipeline
-    # (VECHAT_BENCH_E2E_BACKEND=pallas overrides for device-path runs).
+    # set through the real CLI. Device backend by default since r4's
+    # layerwise placement (host graphs + batched Pallas alignment) made it
+    # competitive; --repeat 2 reports cold (compile-laden: the axon tunnel
+    # cannot persist executables across processes) AND warm walls.
+    # VECHAT_BENCH_E2E_BACKEND=host opts back out.
     if os.environ.get("VECHAT_BENCH_E2E", "1") == "1":
-        e2e_backend = os.environ.get("VECHAT_BENCH_E2E_BACKEND", "host")
+        e2e_backend = os.environ.get("VECHAT_BENCH_E2E_BACKEND", "pallas")
+        cmd = [
+            sys.executable,
+            os.path.join(HERE, "scripts", "e2e_bench.py"),
+            "--reads", "40", "--backend", e2e_backend,
+        ]
+        if e2e_backend != "host":
+            cmd += ["--repeat", "2"]
         try:
             r = subprocess.run(
-                [
-                    sys.executable,
-                    os.path.join(HERE, "scripts", "e2e_bench.py"),
-                    "--reads", "40", "--backend", e2e_backend,
-                ],
+                cmd,
                 capture_output=True, text=True,
                 # first pallas compile per bucket shape can take 10-25 min
                 # through the remote-compile tunnel; killing mid-compile
@@ -394,12 +399,29 @@ def main():
                 timeout=int(os.environ.get("VECHAT_BENCH_E2E_TIMEOUT", "1800")),
             )
             for line in r.stdout.splitlines():
-                print(f"[bench:e2e] {line}", file=sys.stderr)
+                print(f"[bench:e2e:{e2e_backend}] {line}", file=sys.stderr)
             if r.returncode != 0:
                 print(f"[bench:e2e] FAILED rc={r.returncode}: "
                       f"{r.stderr[-500:]}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"[bench:e2e] skipped: {e}", file=sys.stderr)
+        # the round's banked silicon measurements, for the artifact tail
+        try:
+            import json as _json
+
+            banked = _json.load(
+                open(os.path.join(HERE, "BENCH_banked_r04.json"))
+            )
+            de = banked.get("device_e2e", {})
+            print(
+                "[bench:e2e:banked-r4] device e2e (layerwise default): "
+                f"cold {de.get('cold_wall_s')}s, warm {de.get('warm_wall_s')}s"
+                f" = {de.get('warm_reads_per_s')} reads/s; "
+                f"split: {de.get('warm_split')}",
+                file=sys.stderr,
+            )
+        except Exception:  # noqa: BLE001 — artifact optional
+            pass
 
 
 if __name__ == "__main__":
