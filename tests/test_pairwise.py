@@ -82,6 +82,41 @@ def test_hirschberg_matches_full(monkeypatch):
     assert cigar_spans(cigar_h) == (len(a), len(b))
 
 
+def test_native_myers_matches_scalar_dp():
+    """The native bit-parallel path (csrc pw_align_myers, the edlib-role
+    fast path) must emit byte-identical CIGAR ops to the pure scalar full
+    DP at every size — including across its >4096-cell activation
+    threshold and the formerly-banded >4M-cell regime."""
+    import vechat_tpu.ops.pairwise as pw
+
+    if pw._native_pw_ops(encode("ACGT"), encode("ACT")) is None:
+        pytest.skip("native lib unavailable")
+
+    def pure_full_dp(q, t, monkey=pw):
+        orig = monkey._native_pw_ops
+        monkey._native_pw_ops = lambda *_: None
+        try:
+            return monkey._full_dp_cigar(q, t)
+        finally:
+            monkey._native_pw_ops = orig
+
+    rng = np.random.default_rng(11)
+    sizes = [(7, 5), (63, 64), (64, 64), (65, 70), (90, 45), (128, 129),
+             (300, 310), (513, 500)]
+    for lq, lt in sizes:
+        q = rng.integers(0, 4, lq).astype(np.uint8)
+        t = rng.integers(0, 4, lt).astype(np.uint8)
+        assert pw._native_pw_ops(q, t) == pure_full_dp(q, t), (lq, lt)
+    # correlated long pair above the old 4M-cell banded threshold
+    t = rng.integers(0, 4, 2200).astype(np.uint8)
+    q = t.copy()
+    idx = rng.random(2200) < 0.08
+    q[idx] = rng.integers(0, 4, int(idx.sum()))
+    q = np.delete(q, np.where(rng.random(2200) < 0.02)[0])
+    assert len(q) * len(t) > 4_000_000
+    assert pw._native_pw_ops(q, t) == pure_full_dp(q, t)
+
+
 def test_empty_inputs():
     assert edit_align(np.array([], dtype=np.uint8), encode("AC")) == "2D"
     assert edit_align(encode("AC"), np.array([], dtype=np.uint8)) == "2I"
