@@ -446,6 +446,78 @@ struct Graph {
 constexpr int32_t kNegInf = std::numeric_limits<int32_t>::min() + 1024;
 
 // returns alignment length; fills out_nodes/out_pos (node id or -1, pos or -1)
+// Traceback of the linear-gap sequence-to-graph DP, preference: diagonal per
+// in-edge slot, vertical per slot, horizontal (sisd_alignment_engine.cpp:
+// 369-459). Strided cell accessor so the single-sequence path (lane_stride 1)
+// and the lane-batched fill (lane_stride LANES, H offset by lane) share the
+// exact same walk.
+template <typename HT>
+static int traceback_linear(const Graph& g, const std::vector<int>& rank_of,
+                            const uint8_t* seq, int type, int m, int x, int gp,
+                            const HT* H, size_t row_stride,
+                            size_t lane_stride, int max_i, int max_j,
+                            int* out_nodes, int* out_pos, int cap) {
+  auto cell = [&](int ci, int cj) -> int32_t {
+    return H[static_cast<size_t>(ci) * row_stride * lane_stride +
+             static_cast<size_t>(cj) * lane_stride];
+  };
+  std::vector<int> rn, rp;
+  int i = max_i, j = max_j;
+  auto keep_going = [&]() {
+    if (type == 1) return cell(i, j) != 0;
+    if (type == 0) return !(i == 0 && j == 0);
+    return !(i == 0 || j == 0);
+  };
+  int prev_i = 0, prev_j = 0;
+  while (keep_going()) {
+    int32_t h_ij = cell(i, j);
+    bool found = false;
+    if (i != 0 && j != 0) {
+      int v = g.rank_to_node[i - 1];
+      int32_t mc = (seq[j - 1] == g.codes[v]) ? m : x;
+      const std::vector<int>& ins = g.inedges[v];
+      size_t np = ins.empty() ? 1 : ins.size();
+      for (size_t p = 0; p < np && !found; ++p) {
+        int pi = ins.empty() ? 0 : rank_of[g.edges[ins[p]].tail] + 1;
+        if (h_ij == cell(pi, j - 1) + mc) {
+          prev_i = pi;
+          prev_j = j - 1;
+          found = true;
+        }
+      }
+    }
+    if (!found && i != 0) {
+      int v = g.rank_to_node[i - 1];
+      const std::vector<int>& ins = g.inedges[v];
+      size_t np = ins.empty() ? 1 : ins.size();
+      for (size_t p = 0; p < np && !found; ++p) {
+        int pi = ins.empty() ? 0 : rank_of[g.edges[ins[p]].tail] + 1;
+        if (h_ij == cell(pi, j) + gp) {
+          prev_i = pi;
+          prev_j = j;
+          found = true;
+        }
+      }
+    }
+    if (!found && h_ij == cell(i, j - 1) + gp) {
+      prev_i = i;
+      prev_j = j - 1;
+      found = true;
+    }
+    rn.push_back(i == prev_i ? -1 : g.rank_to_node[i - 1]);
+    rp.push_back(j == prev_j ? -1 : j - 1);
+    i = prev_i;
+    j = prev_j;
+  }
+  int cnt = static_cast<int>(rn.size());
+  if (cnt > cap) return -1;
+  for (int k = 0; k < cnt; ++k) {
+    out_nodes[k] = rn[cnt - 1 - k];
+    out_pos[k] = rp[cnt - 1 - k];
+  }
+  return cnt;
+}
+
 int align_linear(const Graph& g, const uint8_t* seq, int slen, int type,
                  int m, int x, int gp, int* out_nodes, int* out_pos, int cap) {
   int n = static_cast<int>(g.codes.size());
@@ -522,64 +594,282 @@ int align_linear(const Graph& g, const uint8_t* seq, int slen, int type,
   }
 
   if (max_i == 0 && max_j == 0) return 0;
+  return traceback_linear(g, rank_of, seq, type, m, x, gp, H.data(), W, 1,
+                          max_i, max_j, out_nodes, out_pos, cap);
+}
 
-  // traceback, preference: diagonal per in-edge slot, vertical per slot,
-  // horizontal (sisd_alignment_engine.cpp:369-459)
-  std::vector<int> rn, rp;
-  int i = max_i, j = max_j;
-  auto keep_going = [&]() {
-    if (type == 1) return H[static_cast<size_t>(i) * W + j] != 0;
-    if (type == 0) return !(i == 0 && j == 0);
-    return !(i == 0 || j == 0);
-  };
-  int prev_i = 0, prev_j = 0;
-  while (keep_going()) {
-    int32_t h_ij = row(i)[j];
-    bool found = false;
-    if (i != 0 && j != 0) {
-      int v = g.rank_to_node[i - 1];
-      int32_t mc = (seq[j - 1] == g.codes[v]) ? m : x;
-      const std::vector<int>& ins = g.inedges[v];
-      size_t np = ins.empty() ? 1 : ins.size();
-      for (size_t p = 0; p < np && !found; ++p) {
-        int pi = ins.empty() ? 0 : rank_of[g.edges[ins[p]].tail] + 1;
-        if (h_ij == row(pi)[j - 1] + mc) {
-          prev_i = pi;
-          prev_j = j - 1;
-          found = true;
+// Lane-batched linear-gap DP: aligns up to kLanes sequences against the SAME
+// graph simultaneously, one SIMD lane per sequence (the vertical batching
+// cudapoa uses across a window's sequences — here it vectorizes the host
+// fallback path instead). Every lane computes exactly the scalar recurrence
+// of align_linear (identical adds, maxes, strict-greater maximum tracking
+// with first-j/first-row tie wins), so per-lane results are byte-identical
+// to one-at-a-time align_linear calls; the shared traceback helper walks
+// each lane with a stride. Two structural points make it fast:
+//   * ONE fused pass per column: all predecessor candidates, the serial
+//     in-row gap close (carried in registers) and the row-maximum tracking
+//     happen per column, so each H row is streamed exactly once — the
+//     separate-pass formulation was H-bandwidth-bound, not compute-bound;
+//   * int16 cells when the worst-case |score| fits (always true for 500 bp
+//     windows; (n + maxlen + 2) * maxpen < 30000 guard), halving traffic
+//     and doubling lanes per vector; int32 cells otherwise. Identical
+//     arithmetic either way — scores never overflow the chosen width.
+// Lanes beyond nseq / shorter lanes compute padding cells that are never
+// read (per-lane length masks keep them out of max tracking).
+constexpr int kLanes = 32;
+
+template <typename HT>
+static void align_linear_batch_t(const Graph& g, const uint8_t* const* seqs,
+                                 const int* lens, int nseq, int type, int m,
+                                 int x, int gp, int* out_nodes, int* out_pos,
+                                 int* out_cnt, int cap) {
+  const int n = static_cast<int>(g.codes.size());
+  int maxlen = 0;
+  for (int l = 0; l < nseq; ++l) maxlen = std::max(maxlen, lens[l]);
+  const int W = maxlen + 1;
+  constexpr int L = kLanes;
+  const HT neg_inf = std::is_same<HT, int16_t>::value
+                         ? static_cast<HT>(-30000)
+                         : static_cast<HT>(kNegInf);
+  std::vector<int> rank_of(n, 0);
+  for (size_t i = 0; i < g.rank_to_node.size(); ++i)
+    rank_of[g.rank_to_node[i]] = static_cast<int>(i);
+  const size_t rs = static_cast<size_t>(W) * L;
+  thread_local std::vector<HT> hbuf;
+  if (hbuf.size() < static_cast<size_t>(n + 1) * rs)
+    hbuf.resize(static_cast<size_t>(n + 1) * rs);
+  HT* H = hbuf.data();
+  // lane-width codes for the interleaved sequences: a uint8 buffer makes
+  // gcc pick a tiny vector factor for the mixed-width compare
+  thread_local std::vector<HT> sbuf;
+  if (sbuf.size() < static_cast<size_t>(maxlen) * L)
+    sbuf.resize(static_cast<size_t>(maxlen) * L);
+  HT* S = sbuf.data();
+  int lensL[kLanes];
+  for (int l = 0; l < L; ++l) lensL[l] = l < nseq ? lens[l] : 0;
+  for (int j = 0; j < maxlen; ++j)
+    for (int l = 0; l < L; ++l)
+      S[static_cast<size_t>(j) * L + l] =
+          (j < lensL[l]) ? static_cast<HT>(seqs[l][j]) : static_cast<HT>(-1);
+
+  // row 0 and (rank-ordered) column 0, mirroring align_linear's init
+  for (int j = 0; j < W; ++j) {
+    const HT v = static_cast<HT>((type == 1) ? 0 : j * gp);
+    for (int l = 0; l < L; ++l) H[static_cast<size_t>(j) * L + l] = v;
+  }
+  for (int v : g.rank_to_node) {
+    const int i = rank_of[v] + 1;
+    HT c0 = 0;
+    if (type == 0) {
+      HT pen;
+      if (g.inedges[v].empty()) {
+        pen = 0;
+      } else {
+        pen = neg_inf;
+        for (int ei : g.inedges[v])
+          pen = std::max(
+              pen, H[static_cast<size_t>(rank_of[g.edges[ei].tail] + 1) * rs]);
+      }
+      c0 = static_cast<HT>(pen + gp);
+    }
+    HT* hr = H + static_cast<size_t>(i) * rs;
+    for (int l = 0; l < L; ++l) hr[l] = c0;
+  }
+
+  int32_t max_score[kLanes];
+  int max_i[kLanes], max_j[kLanes];
+  for (int l = 0; l < L; ++l) {
+    max_score[l] = type == 1 ? 0 : kNegInf;
+    max_i[l] = 0;
+    max_j[l] = 0;
+  }
+
+  const HT hm = static_cast<HT>(m), hx = static_cast<HT>(x),
+           hgp = static_cast<HT>(gp);
+  int pred_rows[16];
+  std::vector<int> pred_rows_big;
+  for (int v : g.rank_to_node) {
+    const int i = rank_of[v] + 1;
+    const HT code = static_cast<HT>(g.codes[v]);
+    HT* __restrict__ hr = H + static_cast<size_t>(i) * rs;
+    const std::vector<int>& ins = g.inedges[v];
+    const int np =
+        ins.empty() ? 1 : static_cast<int>(ins.size());
+    const int* pr;
+    if (np <= 16) {
+      for (int p = 0; p < np; ++p)
+        pred_rows[p] =
+            ins.empty() ? 0 : rank_of[g.edges[ins[p]].tail] + 1;
+      pr = pred_rows;
+    } else {
+      pred_rows_big.resize(np);
+      for (int p = 0; p < np; ++p)
+        pred_rows_big[p] = rank_of[g.edges[ins[p]].tail] + 1;
+      pr = pred_rows_big.data();
+    }
+    const bool track_row =
+        type == 1 || (type == 2 && g.outedges[v].empty());
+    // ONE fused pass per column: predecessor candidates, the register-
+    // carried in-row gap close, and the row-maximum tracking (within a row
+    // the FIRST j with the row maximum wins — strict-greater updates,
+    // ascending j, exactly align_linear's scan order; across rows the
+    // earliest rank wins)
+    HT carry[kLanes], rm[kLanes];
+    int32_t rj[kLanes];
+    for (int l = 0; l < L; ++l) {
+      carry[l] = hr[l];
+      rm[l] = std::numeric_limits<HT>::min();
+      rj[l] = 0;
+    }
+    // np==1 / np==2 cover almost every node in a near-linear POA graph:
+    // fully fused single lane-loop per column, no intermediate array
+    if (np == 1) {
+      const HT* __restrict__ hp0 = H + static_cast<size_t>(pr[0]) * rs;
+      for (int j = 1; j < W; ++j) {
+        const HT* __restrict__ sd = S + static_cast<size_t>(j - 1) * L;
+        const HT* __restrict__ hp = hp0 + static_cast<size_t>(j - 1) * L;
+        HT* __restrict__ ho = hr + static_cast<size_t>(j) * L;
+        for (int l = 0; l < L; ++l) {
+          const HT prof = (sd[l] == code) ? hm : hx;
+          HT vv = std::max(static_cast<HT>(hp[l] + prof),
+                           static_cast<HT>(hp[L + l] + hgp));
+          vv = std::max(static_cast<HT>(carry[l] + hgp), vv);
+          if (type == 1) vv = std::max(vv, static_cast<HT>(0));
+          ho[l] = vv;
+          carry[l] = vv;
+          const HT tv = (track_row && sd[l] != static_cast<HT>(-1))
+                            ? vv
+                            : std::numeric_limits<HT>::min();
+          if (tv > rm[l]) {
+            rm[l] = tv;
+            rj[l] = j;
+          }
+        }
+      }
+    } else if (np == 2) {
+      const HT* __restrict__ hp0 = H + static_cast<size_t>(pr[0]) * rs;
+      const HT* __restrict__ hp1 = H + static_cast<size_t>(pr[1]) * rs;
+      for (int j = 1; j < W; ++j) {
+        const HT* __restrict__ sd = S + static_cast<size_t>(j - 1) * L;
+        const HT* __restrict__ hpa = hp0 + static_cast<size_t>(j - 1) * L;
+        const HT* __restrict__ hpb = hp1 + static_cast<size_t>(j - 1) * L;
+        HT* __restrict__ ho = hr + static_cast<size_t>(j) * L;
+        for (int l = 0; l < L; ++l) {
+          const HT prof = (sd[l] == code) ? hm : hx;
+          const HT ca = std::max(static_cast<HT>(hpa[l] + prof),
+                                 static_cast<HT>(hpa[L + l] + hgp));
+          const HT cb = std::max(static_cast<HT>(hpb[l] + prof),
+                                 static_cast<HT>(hpb[L + l] + hgp));
+          HT vv = std::max(ca, cb);
+          vv = std::max(static_cast<HT>(carry[l] + hgp), vv);
+          if (type == 1) vv = std::max(vv, static_cast<HT>(0));
+          ho[l] = vv;
+          carry[l] = vv;
+          const HT tv = (track_row && sd[l] != static_cast<HT>(-1))
+                            ? vv
+                            : std::numeric_limits<HT>::min();
+          if (tv > rm[l]) {
+            rm[l] = tv;
+            rj[l] = j;
+          }
+        }
+      }
+    } else {
+      for (int j = 1; j < W; ++j) {
+        const HT* __restrict__ sd = S + static_cast<size_t>(j - 1) * L;
+        HT* __restrict__ ho = hr + static_cast<size_t>(j) * L;
+        HT acc[kLanes];
+        {
+          const HT* __restrict__ hp = H + static_cast<size_t>(pr[0]) * rs +
+                                      static_cast<size_t>(j - 1) * L;
+          for (int l = 0; l < L; ++l) {
+            const HT prof = (sd[l] == code) ? hm : hx;
+            acc[l] = std::max(static_cast<HT>(hp[l] + prof),
+                              static_cast<HT>(hp[L + l] + hgp));
+          }
+        }
+        for (int p = 1; p < np; ++p) {
+          const HT* __restrict__ hp = H + static_cast<size_t>(pr[p]) * rs +
+                                      static_cast<size_t>(j - 1) * L;
+          for (int l = 0; l < L; ++l) {
+            const HT prof = (sd[l] == code) ? hm : hx;
+            const HT cand = std::max(static_cast<HT>(hp[l] + prof),
+                                     static_cast<HT>(hp[L + l] + hgp));
+            acc[l] = std::max(acc[l], cand);
+          }
+        }
+        for (int l = 0; l < L; ++l) {
+          HT vv = std::max(static_cast<HT>(carry[l] + hgp), acc[l]);
+          if (type == 1) vv = std::max(vv, static_cast<HT>(0));
+          ho[l] = vv;
+          carry[l] = vv;
+          // sd[l] == -1 marks padding columns for this lane (j > lens[l])
+          const HT tv = (track_row && sd[l] != static_cast<HT>(-1))
+                            ? vv
+                            : std::numeric_limits<HT>::min();
+          if (tv > rm[l]) {
+            rm[l] = tv;
+            rj[l] = j;
+          }
         }
       }
     }
-    if (!found && i != 0) {
-      int v = g.rank_to_node[i - 1];
-      const std::vector<int>& ins = g.inedges[v];
-      size_t np = ins.empty() ? 1 : ins.size();
-      for (size_t p = 0; p < np && !found; ++p) {
-        int pi = ins.empty() ? 0 : rank_of[g.edges[ins[p]].tail] + 1;
-        if (h_ij == row(pi)[j] + gp) {
-          prev_i = pi;
-          prev_j = j;
-          found = true;
+    if (track_row) {
+      for (int l = 0; l < nseq; ++l) {
+        if (lensL[l] > 0 && max_score[l] < static_cast<int32_t>(rm[l])) {
+          max_score[l] = rm[l];
+          max_i[l] = i;
+          max_j[l] = rj[l];
         }
       }
     }
-    if (!found && h_ij == row(i)[j - 1] + gp) {
-      prev_i = i;
-      prev_j = j - 1;
-      found = true;
+    if (type == 0 && g.outedges[v].empty()) {
+      for (int l = 0; l < nseq; ++l) {
+        if (lensL[l] == 0) continue;
+        const int32_t vv = hr[static_cast<size_t>(lensL[l]) * L + l];
+        if (max_score[l] < vv) {
+          max_score[l] = vv;
+          max_i[l] = i;
+          max_j[l] = lensL[l];
+        }
+      }
     }
-    rn.push_back(i == prev_i ? -1 : g.rank_to_node[i - 1]);
-    rp.push_back(j == prev_j ? -1 : j - 1);
-    i = prev_i;
-    j = prev_j;
   }
-  int cnt = static_cast<int>(rn.size());
-  if (cnt > cap) return -1;
-  for (int k = 0; k < cnt; ++k) {
-    out_nodes[k] = rn[cnt - 1 - k];
-    out_pos[k] = rp[cnt - 1 - k];
+
+  for (int l = 0; l < nseq; ++l) {
+    if (lensL[l] == 0 || (max_i[l] == 0 && max_j[l] == 0)) {
+      out_cnt[l] = 0;
+      continue;
+    }
+    out_cnt[l] = traceback_linear(
+        g, rank_of, seqs[l], type, m, x, gp, H + l, W, L, max_i[l], max_j[l],
+        out_nodes + static_cast<size_t>(l) * cap,
+        out_pos + static_cast<size_t>(l) * cap, cap);
   }
-  return cnt;
+}
+
+static void align_linear_batch(const Graph& g, const uint8_t* const* seqs,
+                               const int* lens, int nseq, int type, int m,
+                               int x, int gp, int* out_nodes, int* out_pos,
+                               int* out_cnt, int cap) {
+  const int n = static_cast<int>(g.codes.size());
+  int maxlen = 0;
+  for (int l = 0; l < nseq; ++l) maxlen = std::max(maxlen, lens[l]);
+  if (n == 0 || maxlen == 0) {
+    for (int l = 0; l < nseq; ++l) out_cnt[l] = 0;
+    return;
+  }
+  const int maxpen =
+      std::max({std::abs(m), std::abs(x), std::abs(gp)});
+  const long long bound =
+      static_cast<long long>(n + maxlen + 2) * maxpen;
+  if (bound < 29000) {
+    align_linear_batch_t<int16_t>(g, seqs, lens, nseq, type, m, x, gp,
+                                  out_nodes, out_pos, out_cnt, cap);
+  } else {
+    align_linear_batch_t<int32_t>(g, seqs, lens, nseq, type, m, x, gp,
+                                  out_nodes, out_pos, out_cnt, cap);
+  }
 }
 
 }  // namespace
@@ -721,6 +1011,28 @@ int poa_align(void* g, const uint8_t* seq, int slen, int type, int m, int x,
               int gp, int* out_nodes, int* out_pos, int cap) {
   return align_linear(*static_cast<Graph*>(g), seq, slen, type, m, x, gp,
                       out_nodes, out_pos, cap);
+}
+
+// Lane-batched variant: seqs_flat holds nseq sequences back to back
+// (offsets from lens); outputs are [nseq][cap] slabs + per-seq counts
+// (-1 on per-seq overflow). nseq must be <= kLanes (16); results are
+// byte-identical to nseq scalar poa_align calls.
+int poa_align_batch(void* g, const uint8_t* seqs_flat, const int32_t* lens,
+                    int nseq, int type, int m, int x, int gp, int* out_nodes,
+                    int* out_pos, int* out_cnt, int cap) {
+  if (nseq <= 0) return 0;
+  if (nseq > kLanes) return -1;
+  const uint8_t* ptrs[kLanes];
+  int ilens[kLanes];
+  size_t off = 0;
+  for (int l = 0; l < nseq; ++l) {
+    ptrs[l] = seqs_flat + off;
+    ilens[l] = lens[l];
+    off += static_cast<size_t>(lens[l]);
+  }
+  align_linear_batch(*static_cast<Graph*>(g), ptrs, ilens, nseq, type, m, x,
+                     gp, out_nodes, out_pos, out_cnt, cap);
+  return 0;
 }
 
 // Full graph serialization (the cereal role; reference:

@@ -136,3 +136,38 @@ def test_empty_alignment_addweights_skipped():
     nat = NativePoaGraph()
     nat.add_alignment([], encode("ACGT"), np.ones(4, dtype=np.uint32))
     assert not nat.add_weights([], encode("ACGT"), np.ones(4, dtype=np.uint32))
+
+
+@pytest.mark.parametrize("mode", ["nw", "sw", "ov"])
+def test_lane_batched_aligner_parity(mode):
+    """align_host_batch (csrc align_linear_batch, one SIMD lane per seq)
+    must be byte-identical to per-sequence align_host — including ragged
+    lengths, empty sequences, and batches above the 32-lane chunk size."""
+    rng = np.random.default_rng(77)
+    _, nat, base = build_pair(rng)
+    seqs = [encode(mutate(rng, base)) for _ in range(37)]
+    seqs = [s[: int(rng.integers(5, len(s) + 1))] for s in seqs]
+    seqs[3] = np.zeros(0, dtype=np.uint8)  # empty lane
+    got = nat.align_host_batch(seqs, mode, 3, -5, -4)
+    want = [nat.align_host(s, mode, 3, -5, -4) for s in seqs]
+    assert got == want
+
+
+def test_host_backend_groups_same_graph_items():
+    """HostAlignerBackend.align_batch routes same-(graph, mode) runs through
+    the lane-batched native DP; output order and bytes must match the
+    per-item path."""
+    from vechat_tpu.pipeline.windows import HostAlignerBackend
+
+    rng = np.random.default_rng(5)
+    _, nat_a, base_a = build_pair(rng)
+    _, nat_b, base_b = build_pair(rng)
+    be = HostAlignerBackend(3, -5, -4, threads=2)
+    items = []
+    for k in range(14):
+        graph, base = (nat_a, base_a) if k % 3 else (nat_b, base_b)
+        mode = "sw" if k % 2 else "nw"
+        items.append((encode(mutate(rng, base)), graph, mode))
+    got = be.align_batch(items)
+    want = [be._align_one(it) for it in items]
+    assert got == want

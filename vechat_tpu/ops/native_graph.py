@@ -135,6 +135,12 @@ def _build():
         _u8p, ctypes.c_int, _u8p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
     ]
     lib.pw_align.restype = ctypes.c_int
+    lib.poa_align_batch.argtypes = [
+        ctypes.c_void_p, _u8p, _i32p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, _i32p, _i32p, _i32p,
+        ctypes.c_int,
+    ]
+    lib.poa_align_batch.restype = ctypes.c_int
     _i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
     lib.poa_save_sizes.argtypes = [ctypes.c_void_p] + [
         ctypes.POINTER(ctypes.c_int)
@@ -428,6 +434,50 @@ class NativePoaGraph:
             pad(d["seqs"], np.int32),
         )
         return cls(h)
+
+    BATCH_LANES = 32  # csrc kLanes: max sequences per lane-batched DP call
+
+    def align_host_batch(
+        self, seq_list, mode: str, m: int, x: int, g: int
+    ) -> List[Alignment]:
+        """Lane-batched native aligner: all sequences against THIS graph in
+        one SIMD-lane-parallel DP per <=32-seq chunk, byte-identical to
+        per-sequence align_host (csrc align_linear_batch)."""
+        n_nodes = self.num_nodes()
+        out: List[Alignment] = [[] for _ in seq_list]
+        if n_nodes == 0:
+            return out
+        live = [i for i, s in enumerate(seq_list) if len(s)]
+        atype = _ALIGN_TYPE[mode]
+        for off in range(0, len(live), self.BATCH_LANES):
+            chunk = live[off : off + self.BATCH_LANES]
+            seqs = [
+                np.ascontiguousarray(seq_list[i], dtype=np.uint8)
+                for i in chunk
+            ]
+            lens = np.array([len(s) for s in seqs], dtype=np.int32)
+            flat = np.ascontiguousarray(np.concatenate(seqs), dtype=np.uint8)
+            cap = n_nodes + int(lens.max()) + 2
+            on = np.empty(len(chunk) * cap, dtype=np.int32)
+            op = np.empty(len(chunk) * cap, dtype=np.int32)
+            cnt = np.empty(len(chunk), dtype=np.int32)
+            r = self._lib.poa_align_batch(
+                self._h, flat, lens, len(chunk), atype, int(m), int(x),
+                int(g), on, op, cnt, cap,
+            )
+            if r != 0:
+                raise RuntimeError("native batch alignment failed")
+            for li, i in enumerate(chunk):
+                c = int(cnt[li])
+                if c < 0:
+                    raise RuntimeError("native alignment overflow")
+                out[i] = list(
+                    zip(
+                        on[li * cap : li * cap + c].tolist(),
+                        op[li * cap : li * cap + c].tolist(),
+                    )
+                )
+        return out
 
     def align_host(self, seq_codes, mode: str, m: int, x: int, g: int) -> Alignment:
         """Native scalar fallback aligner (linear gap)."""

@@ -107,8 +107,42 @@ class HostAlignerBackend:
         eng = self.nw if mode == "nw" else self.sw
         return eng.align(codes, graph)
 
+    def _scores(self, mode: str):
+        if mode == "nw":
+            return self.match, self.mismatch, self.gap
+        return 3, -5, -4
+
     def align_batch(self, items: Sequence[Tuple[np.ndarray, PoaGraph, str]]):
-        return _pmap(self._align_one, items, self.threads)
+        """Same-(graph, mode) items go through the lane-batched native DP
+        (one SIMD lane per sequence, csrc align_linear_batch) — the realign
+        phase aligns ~depth sequences against each window's static pruned
+        graph, so whole windows batch into single native calls. Distinct
+        graphs (the build phase) fall back to per-item alignment. Results
+        are byte-identical either way; groups fan out over -t threads."""
+        groups: dict = {}
+        order = []
+        for k, (codes, graph, mode) in enumerate(items):
+            key = (id(graph), mode)
+            if key not in groups:
+                groups[key] = (graph, mode, [])
+                order.append(key)
+            groups[key][2].append(k)
+        results: List = [None] * len(items)
+
+        def run_group(key):
+            graph, mode, ks = groups[key]
+            if len(ks) >= 2 and hasattr(graph, "align_host_batch"):
+                m, x, g = self._scores(mode)
+                res = graph.align_host_batch(
+                    [items[k][0] for k in ks], mode, m, x, g
+                )
+            else:
+                res = [self._align_one(items[k]) for k in ks]
+            for k, r in zip(ks, res):
+                results[k] = r
+
+        _pmap(run_group, order, self.threads)
+        return results
 
 
 def _layer_weights(layer_codes: np.ndarray, quality: Optional[str]) -> np.ndarray:
