@@ -70,7 +70,10 @@ def main():
                 lo = max(iv[i][0], iv[j][0])
                 hi = min(iv[i][1], iv[j][1])
                 if hi - lo >= args.min_ov:
-                    truth.add((f"r{i}", f"r{j}"))
+                    # normalize exactly like the found-set below (string
+                    # sort): numeric-ordered keys silently mismatch pairs
+                    # like (r2, r18) and understate BOTH recall & precision
+                    truth.add(tuple(sorted((f"r{i}", f"r{j}"))))
 
         line = [f"noise={noise:.0%} truth={len(truth)}"]
         for label, dp in (("greedy", False), ("chainDP", True)):
