@@ -22,6 +22,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <limits>
 #include <set>
@@ -1386,6 +1387,32 @@ int pw_align(const uint8_t* q, int lq, const uint8_t* t, int lt,
   if (cnt > cap) return -1;
   for (int k = 0; k < cnt; ++k) out_ops[k] = ops[cnt - 1 - k];
   return cnt;
+}
+
+// As pw_align but emits the run-length-encoded CIGAR string directly
+// ("123M4D..."), so the caller skips per-op list work entirely. Returns the
+// string length written to out (no NUL), or -1 on overflow.
+int pw_align_cigar(const uint8_t* q, int lq, const uint8_t* t, int lt,
+                   char* out, int cap) {
+  thread_local std::vector<char> ops;
+  if (ops.size() < static_cast<size_t>(lq + lt + 2))
+    ops.resize(static_cast<size_t>(lq + lt + 2));
+  int n = pw_align(q, lq, t, lt, ops.data(), static_cast<int>(ops.size()));
+  if (n < 0) return -1;
+  int o = 0;
+  int i = 0;
+  while (i < n) {
+    int j = i;
+    while (j < n && ops[j] == ops[i]) ++j;
+    char num[16];
+    int len = std::snprintf(num, sizeof num, "%d", j - i);
+    if (o + len + 1 > cap) return -1;
+    std::memcpy(out + o, num, len);
+    o += len;
+    out[o++] = ops[i];
+    i = j;
+  }
+  return o;
 }
 
 // Scored chaining DP over diagonal-clustered anchors (minimap2's chain

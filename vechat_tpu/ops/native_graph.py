@@ -135,6 +135,10 @@ def _build():
         _u8p, ctypes.c_int, _u8p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
     ]
     lib.pw_align.restype = ctypes.c_int
+    lib.pw_align_cigar.argtypes = [
+        _u8p, ctypes.c_int, _u8p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+    ]
+    lib.pw_align_cigar.restype = ctypes.c_int
     lib.poa_align_batch.argtypes = [
         ctypes.c_void_p, _u8p, _i32p, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, _i32p, _i32p, _i32p,

@@ -144,6 +144,30 @@ def ops_to_cigar(ops: list) -> str:
     return "".join(out)
 
 
+def _native_pw_cigar(q: np.ndarray, t: np.ndarray):
+    """Native path that returns the RLE CIGAR string directly (pw_align_cigar),
+    skipping the per-op Python list + RLE join; None if unavailable."""
+    if (len(q) + 1) * (len(t) + 1) > 256_000_000:
+        return None
+    try:
+        from .native_graph import get_lib
+    except ImportError:
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    cap = 3 * (len(q) + len(t) + 2) + 16
+    buf = ctypes.create_string_buffer(cap)
+    qa = np.ascontiguousarray(q, dtype=np.uint8)
+    ta = np.ascontiguousarray(t, dtype=np.uint8)
+    n = lib.pw_align_cigar(qa, len(qa), ta, len(ta), buf, cap)
+    if n < 0:
+        return None
+    return buf.raw[:n].decode()
+
+
 def edit_align(q: np.ndarray, t: np.ndarray) -> str:
     """Global NW edit-distance alignment; returns a standard CIGAR string.
     q consumes 'M'/'I'; t consumes 'M'/'D' (edlib EDLIB_CIGAR_STANDARD)."""
@@ -153,6 +177,9 @@ def edit_align(q: np.ndarray, t: np.ndarray) -> str:
         return f"{len(t)}D" if len(t) else ""
     if len(t) == 0:
         return f"{len(q)}I"
+    native = _native_pw_cigar(q, t)
+    if native is not None:
+        return native
     return ops_to_cigar(_hirschberg_ops(q, t))
 
 
