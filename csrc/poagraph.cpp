@@ -74,6 +74,21 @@ struct Graph {
     inedges[head].push_back(ei);
   }
 
+  // label-free edge insert for alignment-only graphs (positional subgraphs
+  // are aligned against and discarded — nothing reads labels or merges
+  // duplicate edges there, and the label vector is one heap allocation per
+  // edge on the window hot path)
+  void add_edge_nolabel(int tail, int head, long long weight) {
+    Edge e;
+    e.tail = tail;
+    e.head = head;
+    e.weight = weight;
+    edges.push_back(std::move(e));
+    int ei = static_cast<int>(edges.size()) - 1;
+    outedges[tail].push_back(ei);
+    inedges[head].push_back(ei);
+  }
+
   int add_run(const uint8_t* s, const uint32_t* w, int begin, int end) {
     if (begin == end) return -1;
     int prev = -1;
@@ -346,6 +361,13 @@ struct Graph {
     Graph* sub = new Graph();
     std::vector<int> g2s(n, -1);
     sub_to_graph->clear();
+    int nk = 0;
+    for (int v = 0; v < n; ++v) nk += keep[v];
+    sub->codes.reserve(nk);
+    sub->inedges.reserve(nk);
+    sub->outedges.reserve(nk);
+    sub->aligned.reserve(nk);
+    sub_to_graph->reserve(nk);
     for (int v = 0; v < n; ++v) {
       if (!keep[v]) continue;
       int sv = sub->add_node(codes[v]);
@@ -357,7 +379,9 @@ struct Graph {
       int sv = g2s[v];
       for (int ei : inedges[v]) {
         if (g2s[edges[ei].tail] != -1) {
-          sub->add_edge(g2s[edges[ei].tail], sv, edges[ei].weight);
+          // edges arrive tail-deduplicated from the parent, so the
+          // label-free fast insert preserves edge identity and order
+          sub->add_edge_nolabel(g2s[edges[ei].tail], sv, edges[ei].weight);
         }
       }
       for (int a : aligned[v]) {
@@ -552,22 +576,32 @@ int align_linear(const Graph& g, const uint8_t* seq, int slen, int type,
   int32_t max_score = type == 1 ? 0 : kNegInf;
   int max_i = 0, max_j = 0;
 
+  // per-node row fill: profile row hoisted once per node (reused by every
+  // predecessor pass, vectorized); the in-row gap close stays serial (its
+  // loop-carried max has no compiler-vectorizable form without intrinsics
+  // — the lane-batched path below is the vector formulation) with maximum
+  // tracking folded in, exactly the reference engine's scan order
+  std::vector<int32_t> prof(W);
   for (int v : g.rank_to_node) {
     int i = rank_of[v] + 1;
     int code = g.codes[v];
-    int32_t* Hr = row(i);
-    bool first = true;
+    int32_t* __restrict__ Hr = row(i);
     const std::vector<int>& ins = g.inedges[v];
     size_t np = ins.empty() ? 1 : ins.size();
+    int32_t* __restrict__ pf = prof.data();
+    for (int j = 1; j < W; ++j) pf[j] = (seq[j - 1] == code) ? m : x;
     for (size_t p = 0; p < np; ++p) {
       int pi = ins.empty() ? 0 : rank_of[g.edges[ins[p]].tail] + 1;
-      const int32_t* Hp = row(pi);
-      for (int j = 1; j < W; ++j) {
-        int32_t prof = (seq[j - 1] == code) ? m : x;
-        int32_t cand = std::max(Hp[j - 1] + prof, Hp[j] + gp);
-        Hr[j] = first ? cand : std::max(Hr[j], cand);
+      const int32_t* __restrict__ Hp = row(pi);
+      if (p == 0) {
+        for (int j = 1; j < W; ++j)
+          Hr[j] = std::max(Hp[j - 1] + pf[j], Hp[j] + gp);
+      } else {
+        for (int j = 1; j < W; ++j) {
+          int32_t cand = std::max(Hp[j - 1] + pf[j], Hp[j] + gp);
+          Hr[j] = std::max(Hr[j], cand);
+        }
       }
-      first = false;
     }
     for (int j = 1; j < W; ++j) {
       Hr[j] = std::max(Hr[j - 1] + gp, Hr[j]);
