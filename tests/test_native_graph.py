@@ -171,3 +171,14 @@ def test_host_backend_groups_same_graph_items():
     got = be.align_batch(items)
     want = [be._align_one(it) for it in items]
     assert got == want
+
+
+def test_lane_batched_aligner_int32_fallback():
+    """Scores whose worst case exceeds int16 range must route to the int32
+    template instantiation and still match the scalar path byte-for-byte."""
+    rng = np.random.default_rng(21)
+    _, nat, base = build_pair(rng)
+    seqs = [encode(mutate(rng, base)) for _ in range(8)]
+    got = nat.align_host_batch(seqs, "nw", 25, -25, -25)
+    want = [nat.align_host(s, "nw", 25, -25, -25) for s in seqs]
+    assert got == want

@@ -124,3 +124,21 @@ def test_empty_inputs():
 
 def test_ops_to_cigar():
     assert ops_to_cigar(list("MMMIDD")) == "3M1I2D"
+
+
+def test_native_rle_cigar_matches_python_rle():
+    """pw_align_cigar emits the RLE CIGAR natively; it must equal
+    ops_to_cigar over the op-level native path at every size."""
+    import vechat_tpu.ops.pairwise as pw
+
+    if pw._native_pw_ops(encode("ACGT"), encode("ACT")) is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(3)
+    for _ in range(12):
+        lq = int(rng.integers(1, 900))
+        lt = int(rng.integers(1, 900))
+        q = rng.integers(0, 4, lq).astype(np.uint8)
+        t = rng.integers(0, 4, lt).astype(np.uint8)
+        assert pw._native_pw_cigar(q, t) == pw.ops_to_cigar(
+            pw._native_pw_ops(q, t)
+        )
