@@ -365,6 +365,9 @@ class Polisher:
             "[vechat_tpu::Polisher::initialize] aligning overlaps",
             len(pairs),
         )
+        import time as _time
+
+        t_align0 = _time.perf_counter()
         cigars: List[str] = []
         chunk = max(1, (len(pairs) + 19) // 20)
         for off in range(0, len(pairs), chunk):
@@ -372,6 +375,7 @@ class Polisher:
             bar.step(min(chunk, len(pairs) - off))
         if pairs:
             bar.finish()
+        t_align = _time.perf_counter() - t_align0
         for ov, cigar in zip(need, cigars):
             ov.cigar = cigar
         pw = getattr(self.backend, "_pairwise", None)
@@ -385,6 +389,8 @@ class Polisher:
             )
 
         from .windows import _pmap
+
+        t_bp0 = _time.perf_counter()
 
         def bp_one(ov):
             ov.breaking_points = find_breaking_points_from_cigar(
@@ -400,6 +406,14 @@ class Polisher:
             ov.cigar = ""
 
         _pmap(bp_one, overlaps, self.threads)
+        if pairs and pw is None:
+            # host-path stage split (device prints its own line above)
+            print(
+                f"[vechat_tpu::align] pairwise stages: align {t_align:.1f}s "
+                f"({len(pairs)} overlaps) | breakpoints "
+                f"{_time.perf_counter() - t_bp0:.1f}s",
+                file=self.logger.stream,
+            )
 
     def _align_pairs_batch(self, pairs) -> List[str]:
         if hasattr(self.backend, "edit_align_batch"):
