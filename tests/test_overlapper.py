@@ -194,3 +194,42 @@ def test_find_overlaps_streamed_expansion_identical(monkeypatch):
 
     assert [key(o) for o in big] == [key(o) for o in small]
     assert len(big) > 0
+
+
+def test_scrub_simulated_chimera_end_to_end():
+    """Ground-truth chimera through the REAL overlapper (VERDICT r3 weak #7:
+    the earlier scrub tests hand-built their overlaps): a read joining two
+    unrelated genome regions must not survive scrubbing intact, while every
+    honest read survives with most of its length."""
+    from scripts.e2e_bench import mutate, rand_seq
+    from vechat_tpu.pipeline.overlapper import OverlapParams, find_overlaps
+
+    rng = np.random.default_rng(4)
+    region_a = rand_seq(rng, 4000)
+    region_b = rand_seq(rng, 4000)
+    reads = []
+    for i in range(10):
+        s = int(rng.integers(0, 1500))
+        reads.append(
+            SeqRecord(f"a{i}", mutate(rng, region_a[s : s + 2500], 0.03, 0.02, 0.02), None)
+        )
+    for i in range(10):
+        s = int(rng.integers(0, 1500))
+        reads.append(
+            SeqRecord(f"b{i}", mutate(rng, region_b[s : s + 2500], 0.03, 0.02, 0.02), None)
+        )
+    chim = mutate(rng, region_a[500:1750], 0.03, 0.02, 0.02) + mutate(
+        rng, region_b[2000:3250], 0.03, 0.02, 0.02
+    )
+    reads.append(SeqRecord("chimera", chim, None))
+
+    ov = filter_fpa(find_overlaps(reads, OverlapParams.for_platform("pb")))
+    out = scrub_reads(reads, ov, min_coverage=3, max_bad_fraction=0.4)
+
+    assert not any(r.name.startswith("chimera") for r in out)
+    survived = {}
+    for r in out:
+        base = r.name.split("_")[0]
+        survived[base] = max(survived.get(base, 0), len(r.data))
+    for src in reads[:20]:
+        assert survived.get(src.name.split("_")[0], 0) >= 0.8 * len(src.data), src.name
