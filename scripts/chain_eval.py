@@ -29,6 +29,11 @@ def main():
     ap.add_argument(
         "--error-profile", default="pb", choices=["balanced", "pb", "ont"]
     )
+    ap.add_argument(
+        "--platform", default=None, choices=["pb", "ont"],
+        help="overlapper preset (defaults to --error-profile's platform)",
+    )
+    ap.add_argument("--sensitive", action="store_true")
     args = ap.parse_args()
     PROFILES = {
         "balanced": (0.45, 0.30, 0.25),
@@ -77,7 +82,8 @@ def main():
 
         line = [f"noise={noise:.0%} truth={len(truth)}"]
         for label, dp in (("greedy", False), ("chainDP", True)):
-            params = OverlapParams.for_platform("pb")
+            platform = args.platform or ("ont" if args.error_profile == "ont" else "pb")
+            params = OverlapParams.for_platform(platform, sensitive=args.sensitive)
             params.use_chain_dp = dp
             ov = find_overlaps(reads, params)
             ov = filter_length_identity(ov, min_block=args.min_ov)

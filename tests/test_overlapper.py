@@ -233,3 +233,14 @@ def test_scrub_simulated_chimera_end_to_end():
         survived[base] = max(survived.get(base, 0), len(r.data))
     for src in reads[:20]:
         assert survived.get(src.name.split("_")[0], 0) >= 0.8 * len(src.data), src.name
+
+
+def test_sensitive_presets():
+    from vechat_tpu.pipeline.overlapper import OverlapParams
+
+    d = OverlapParams.for_platform("pb")
+    s = OverlapParams.for_platform("pb", sensitive=True)
+    assert (d.k, d.w) == (19, 5) and d.hpc
+    assert (s.k, s.w, s.min_anchors) == (15, 3, 3) and s.hpc
+    so = OverlapParams.for_platform("ont", sensitive=True)
+    assert (so.k, so.w, so.min_anchors) == (13, 3, 3) and not so.hpc

@@ -37,6 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("sequences", help="FASTA/FASTQ(.gz) reads to correct")
     p.add_argument("-o", "--outfile", default="reads.corrected.fa")
     p.add_argument("--platform", default="pb", choices=["pb", "ont"])
+    p.add_argument(
+        "--sensitive", action="store_true",
+        help="high-error-rate overlap presets (shorter k, denser "
+        "minimizers) for >=15%%-error reads",
+    )
     p.add_argument("--split", action="store_true", help="chunk targets")
     p.add_argument("--split-size", type=int, default=1000000)
     p.add_argument(
@@ -129,7 +134,7 @@ def run_round(
     if overlaps_path:
         overlaps = read_paf(overlaps_path)
     else:
-        params = OverlapParams.for_platform(args.platform)
+        params = OverlapParams.for_platform(args.platform, sensitive=getattr(args, 'sensitive', False))
         overlaps = find_overlaps(reads, params)
         if iteration == 1:
             # minimap2 | awk '$11>=500' | fpa drop (scripts/vechat:37-39)
@@ -261,7 +266,7 @@ def run_round_targets(
     elif overlaps_path:
         overlaps = read_paf(overlaps_path)
     else:
-        params = OverlapParams.for_platform(args.platform)
+        params = OverlapParams.for_platform(args.platform, sensitive=getattr(args, 'sensitive', False))
         # overlap chunk targets vs all queries (both roles present);
         # target_names restricts pair expansion so each chunk does ~1/K of
         # the all-vs-all work instead of recomputing the full matrix
@@ -379,7 +384,7 @@ def run_round_stream(
     if overlaps_path is None:
         # global overlap phase: the one O(total reads) resident phase
         reads = read_fastx(reads_path)
-        params = OverlapParams.for_platform(args.platform)
+        params = OverlapParams.for_platform(args.platform, sensitive=getattr(args, 'sensitive', False))
         overlaps = find_overlaps(reads, params)
         if iteration == 1:
             overlaps = filter_length_identity(overlaps, min_block=500)
@@ -495,7 +500,7 @@ def main(argv=None) -> int:
     logger.log(f"loaded {len(reads)} reads")
 
     if args.scrub:
-        params = OverlapParams.for_platform(args.platform)
+        params = OverlapParams.for_platform(args.platform, sensitive=getattr(args, 'sensitive', False))
         min_cov = 3 if args.platform == "pb" else 4
         scrub_overlaps = find_overlaps(reads, params)
         reads = scrub_reads(reads, scrub_overlaps, min_coverage=min_cov)
