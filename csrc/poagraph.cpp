@@ -1423,6 +1423,77 @@ int pw_align(const uint8_t* q, int lq, const uint8_t* t, int lt,
   return cnt;
 }
 
+// One whole realign round as a single native call (the host twin of the
+// device graph-cycle program's realign step): lane-batch-align every
+// sequence against the (structurally frozen) pruned graph, then apply
+// AddWeights in the caller's original order — windows.py's realign loop
+// semantics (backbone first, then layers in sorted order,
+// src/window.cpp:329-386) with zero per-sequence Python round-trips.
+// modes[i]: 0 = NW with (m, x, gp); 1 = SW with (sm, sx, sgp).
+// Alignments are computed grouped by mode (the graph does not change
+// while aligning), then AddWeights applies in index order — only the
+// application order is semantically ordered. Returns 0, or -1 on error.
+int poa_realign_round(void* gv, const uint8_t* seqs_flat, const int32_t* lens,
+                      const uint8_t* modes, const uint32_t* weights_flat,
+                      int nseq, int m, int x, int gp, int sm, int sx,
+                      int sgp) {
+  Graph& g = *static_cast<Graph*>(gv);
+  if (nseq <= 0) return 0;
+  std::vector<size_t> off(nseq + 1, 0);
+  int maxlen = 0;
+  for (int i = 0; i < nseq; ++i) {
+    off[i + 1] = off[i] + static_cast<size_t>(lens[i]);
+    maxlen = std::max(maxlen, lens[i]);
+  }
+  const int cap = static_cast<int>(g.codes.size()) + maxlen + 2;
+  // alignment store: [nseq][cap] node/pos + counts
+  std::vector<int> an(static_cast<size_t>(nseq) * cap);
+  std::vector<int> ap(static_cast<size_t>(nseq) * cap);
+  std::vector<int> cnt(nseq, 0);
+  for (int mode = 0; mode <= 1; ++mode) {
+    const int am = mode ? sm : m, ax = mode ? sx : x, ag = mode ? sgp : gp;
+    const int atype = mode ? 1 : 0;
+    const uint8_t* ptrs[kLanes];
+    int blens[kLanes];
+    int bidx[kLanes];
+    int nb = 0;
+    auto flush = [&]() {
+      if (!nb) return;
+      int bn[kLanes * 1], bcnt[kLanes];
+      std::vector<int> on(static_cast<size_t>(nb) * cap);
+      std::vector<int> op(static_cast<size_t>(nb) * cap);
+      (void)bn;
+      align_linear_batch(g, ptrs, blens, nb, atype, am, ax, ag, on.data(),
+                         op.data(), bcnt, cap);
+      for (int l = 0; l < nb; ++l) {
+        const int i = bidx[l];
+        cnt[i] = std::max(bcnt[l], 0);
+        std::memcpy(&an[static_cast<size_t>(i) * cap],
+                    &on[static_cast<size_t>(l) * cap],
+                    static_cast<size_t>(cnt[i]) * sizeof(int));
+        std::memcpy(&ap[static_cast<size_t>(i) * cap],
+                    &op[static_cast<size_t>(l) * cap],
+                    static_cast<size_t>(cnt[i]) * sizeof(int));
+      }
+      nb = 0;
+    };
+    for (int i = 0; i < nseq; ++i) {
+      if (modes[i] != mode || lens[i] == 0) continue;
+      ptrs[nb] = seqs_flat + off[i];
+      blens[nb] = lens[i];
+      bidx[nb] = i;
+      if (++nb == kLanes) flush();
+    }
+    flush();
+  }
+  for (int i = 0; i < nseq; ++i) {
+    g.add_weights(&an[static_cast<size_t>(i) * cap],
+                  &ap[static_cast<size_t>(i) * cap], cnt[i], lens[i],
+                  weights_flat + off[i]);
+  }
+  return 0;
+}
+
 // As pw_align but emits the run-length-encoded CIGAR string directly
 // ("123M4D..."), so the caller skips per-op list work entirely. Returns the
 // string length written to out (no NUL), or -1 on overflow.

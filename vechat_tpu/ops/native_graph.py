@@ -145,6 +145,12 @@ def _build():
         ctypes.c_int,
     ]
     lib.poa_align_batch.restype = ctypes.c_int
+    lib.poa_realign_round.argtypes = [
+        ctypes.c_void_p, _u8p, _i32p, _u8p, _u32p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.poa_realign_round.restype = ctypes.c_int
     _i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
     lib.poa_save_sizes.argtypes = [ctypes.c_void_p] + [
         ctypes.POINTER(ctypes.c_int)
@@ -440,6 +446,44 @@ class NativePoaGraph:
         return cls(h)
 
     BATCH_LANES = 32  # csrc kLanes: max sequences per lane-batched DP call
+
+    def realign_round(self, seqs, modes, weights, nw_scores, sw_scores) -> None:
+        """One whole realign round in native code: lane-batch-align every
+        sequence against this (structurally frozen) pruned graph, then
+        AddWeights in the given order — semantically identical to the
+        per-sequence align/add_weights loop (csrc poa_realign_round).
+        seqs: list of uint8 code arrays; modes: 'nw'/'sw' per seq;
+        weights: list of uint32 arrays aligned with seqs."""
+        n = len(seqs)
+        if n == 0:
+            return
+        seqs = [np.ascontiguousarray(s, dtype=np.uint8) for s in seqs]
+        lens = np.array([len(s) for s in seqs], dtype=np.int32)
+        flat = (
+            np.ascontiguousarray(np.concatenate(seqs), dtype=np.uint8)
+            if lens.sum()
+            else np.zeros(1, dtype=np.uint8)
+        )
+        wflat = (
+            np.ascontiguousarray(
+                np.concatenate(
+                    [np.ascontiguousarray(w, dtype=np.uint32) for w in weights]
+                ),
+                dtype=np.uint32,
+            )
+            if lens.sum()
+            else np.zeros(1, dtype=np.uint32)
+        )
+        mcodes = np.array(
+            [0 if m == "nw" else 1 for m in modes], dtype=np.uint8
+        )
+        r = self._lib.poa_realign_round(
+            self._h, flat, lens, mcodes, wflat, n,
+            int(nw_scores[0]), int(nw_scores[1]), int(nw_scores[2]),
+            int(sw_scores[0]), int(sw_scores[1]), int(sw_scores[2]),
+        )
+        if r != 0:
+            raise RuntimeError("native realign round failed")
 
     def align_host_batch(
         self, seq_list, mode: str, m: int, x: int, g: int

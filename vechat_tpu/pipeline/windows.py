@@ -394,41 +394,76 @@ def generate_consensus_haplotype(
     # iterative realign + AddWeights + re-prune (src/window.cpp:329-386).
     # Graph structure is frozen within a round (AddWeights only re-weights
     # existing edges), so every alignment of a round batches together.
+    # Per-window realign inputs are round-invariant — precompute once.
+    def realign_inputs(wi):
+        w = active[wi]
+        blen = len(w.backbone_codes)
+        offset = int(0.01 * blen)
+        seqs = [w.backbone_codes]
+        modes = ["nw"]
+        weights = [phred_weights(w.backbone_quality, blen)]
+        for oi in orders[wi]:
+            l = w.layers[oi]
+            seqs.append(l.codes)
+            modes.append(
+                "nw" if (l.begin < offset and l.end > blen - offset) else "sw"
+            )
+            weights.append(phred_weights(l.quality, len(l.codes)))
+        return seqs, modes, weights
+
+    inputs = _pmap(realign_inputs, range(len(active)), threads)
+    host_backend = isinstance(backend, HostAlignerBackend)
+
     for _ in range(num_prune - 1):
-        items = []
-        meta = []
-        for wi, (w, g) in enumerate(zip(active, pruned)):
-            blen = len(w.backbone_codes)
-            offset = int(0.01 * blen)
-            # j == 0 is the backbone; then layers in sorted order
-            seq_list = [(None, w.backbone_codes, w.backbone_quality)]
-            for oi in orders[wi]:
-                l = w.layers[oi]
-                seq_list.append((l, l.codes, l.quality))
-            for j, (layer, codes, quality) in enumerate(seq_list):
-                if j == 0 or (
-                    layer.begin < offset and layer.end > blen - offset
-                ):
-                    items.append((codes, g, "nw"))
-                else:
-                    items.append((codes, g, "sw"))
-                meta.append((wi, codes, quality))
+        # fully-native windows run the whole round (lane-batched aligns +
+        # ordered AddWeights) as ONE native call each — the host twin of
+        # the device graph-cycle realign step; others take the generic
+        # batched path below
+        native_wi = [
+            wi
+            for wi, g in enumerate(pruned)
+            if host_backend and hasattr(g, "realign_round")
+        ]
+        generic_wi = [
+            wi for wi in range(len(pruned)) if wi not in set(native_wi)
+        ]
 
-        alignments = backend.align_batch(items)
+        def native_round(wi):
+            seqs, modes, weights = inputs[wi]
+            pruned[wi].realign_round(
+                seqs, modes, weights,
+                (backend.match, backend.mismatch, backend.gap),
+                (3, -5, -4),
+            )
 
-        # apply AddWeights parallel ACROSS windows, serial WITHIN a window
-        # (backbone first, then layers in order — the reference's call order)
-        per_window: dict = {}
-        for k, (wi, _, _) in enumerate(meta):
-            per_window.setdefault(wi, []).append(k)
+        _pmap(native_round, native_wi, threads)
 
-        def add_weights_one(wi):
-            g = pruned[wi]
-            for k in per_window[wi]:
-                _, codes, quality = meta[k]
-                g.add_weights(alignments[k], codes, phred_weights(quality, len(codes)))
+        if generic_wi:
+            items = []
+            meta = []
+            for wi in generic_wi:
+                g = pruned[wi]
+                seqs, modes, weights = inputs[wi]
+                for codes, mode, wts in zip(seqs, modes, weights):
+                    items.append((codes, g, mode))
+                    meta.append((wi, codes, wts))
 
-        _pmap(add_weights_one, per_window.keys(), threads)
+            alignments = backend.align_batch(items)
+
+            # apply AddWeights parallel ACROSS windows, serial WITHIN a
+            # window (backbone first, then layers in order — the
+            # reference's call order)
+            per_window: dict = {}
+            for k, (wi, _, _) in enumerate(meta):
+                per_window.setdefault(wi, []).append(k)
+
+            def add_weights_one(wi):
+                g = pruned[wi]
+                for k in per_window[wi]:
+                    _, codes, wts = meta[k]
+                    g.add_weights(alignments[k], codes, wts)
+
+            _pmap(add_weights_one, per_window.keys(), threads)
 
         def reprune_one(arg):
             w, g = arg
