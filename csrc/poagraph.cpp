@@ -671,8 +671,15 @@ static void align_linear_batch_t(const Graph& g, const uint8_t* const* seqs,
     rank_of[g.rank_to_node[i]] = static_cast<int>(i);
   const size_t rs = static_cast<size_t>(W) * L;
   thread_local std::vector<HT> hbuf;
-  if (hbuf.size() < static_cast<size_t>(n + 1) * rs)
-    hbuf.resize(static_cast<size_t>(n + 1) * rs);
+  // per-pool-thread high-water buffer: release it when a much smaller
+  // problem follows so -t threads don't retain deep-window footprints
+  // (tens of MB each) for the rest of the process
+  const size_t hneed = static_cast<size_t>(n + 1) * rs;
+  if (hbuf.size() > (8u << 20) / sizeof(HT) && hbuf.size() > 8 * hneed) {
+    hbuf.clear();
+    hbuf.shrink_to_fit();
+  }
+  if (hbuf.size() < hneed) hbuf.resize(hneed);
   HT* H = hbuf.data();
   // lane-width codes for the interleaved sequences: a uint8 buffer makes
   // gcc pick a tiny vector factor for the mixed-width compare
@@ -1050,7 +1057,7 @@ int poa_align(void* g, const uint8_t* seq, int slen, int type, int m, int x,
 
 // Lane-batched variant: seqs_flat holds nseq sequences back to back
 // (offsets from lens); outputs are [nseq][cap] slabs + per-seq counts
-// (-1 on per-seq overflow). nseq must be <= kLanes (16); results are
+// (-1 on per-seq overflow). nseq must be <= kLanes; results are
 // byte-identical to nseq scalar poa_align calls.
 int poa_align_batch(void* g, const uint8_t* seqs_flat, const int32_t* lens,
                     int nseq, int type, int m, int x, int gp, int* out_nodes,
@@ -1459,10 +1466,9 @@ int poa_realign_round(void* gv, const uint8_t* seqs_flat, const int32_t* lens,
     int nb = 0;
     auto flush = [&]() {
       if (!nb) return;
-      int bn[kLanes * 1], bcnt[kLanes];
+      int bcnt[kLanes];
       std::vector<int> on(static_cast<size_t>(nb) * cap);
       std::vector<int> op(static_cast<size_t>(nb) * cap);
-      (void)bn;
       align_linear_batch(g, ptrs, blens, nb, atype, am, ax, ag, on.data(),
                          op.data(), bcnt, cap);
       for (int l = 0; l < nb; ++l) {

@@ -1,10 +1,15 @@
 """Second golden: frozen 60-read 2-strain pb-mode dataset (VERDICT r1 weak
 #6 — the round-1 golden was 16 reads, ont+host only). Locks the HPC-kmer
-overlapper + pb parameter path byte-for-byte. Regenerate
-tests/data/golden2_expected_pb.fa only for intentional behaviour changes:
+overlapper + pb parameter path byte-for-byte. The dataset is high-error
+enough to trip the round-1 sensitivity auto-escalation, so the goldens pin
+--no-auto-sensitive (the pure default-preset path); a separate test checks
+the default run escalates to byte-match an explicit --sensitive run.
+Regenerate tests/data/golden2_expected_pb.fa only for intentional
+behaviour changes:
 
     python -m vechat_tpu.cli.vechat_main tests/data/golden2_reads.fq \
-        --platform pb --backend host -o tests/data/golden2_expected_pb.fa
+        --platform pb --backend host --no-auto-sensitive \
+        -o tests/data/golden2_expected_pb.fa
 """
 
 import os
@@ -33,11 +38,39 @@ def test_pipeline_golden_pb(tmp_path):
             "pb",
             "--backend",
             "host",
+            "--no-auto-sensitive",
         ]
     )
     assert rc == 0
     expected = open(os.path.join(DATA, "golden2_expected_pb.fa")).read()
     assert out.read_text() == expected
+
+
+@slow
+def test_auto_sensitive_escalation_matches_explicit(tmp_path):
+    """Default pb round 1 on this high-error dataset must auto-escalate and
+    byte-match an explicit --sensitive round 1 (VERDICT r4 item 8: the user
+    no longer has to know the flag). Round-1-scoped: escalation is a
+    per-discovery-call decision (kept deterministic per chunk), while the
+    explicit flag also switches round-2 presets."""
+    from vechat_tpu.cli.vechat_main import build_parser, run_round
+    from vechat_tpu.io.fastx import read_fastx
+    from vechat_tpu.utils.logger import Logger
+
+    rp = os.path.join(DATA, "golden2_reads.fq")
+    reads = read_fastx(rp)
+    base = [rp, "--platform", "pb", "--backend", "host"]
+
+    def round1(extra):
+        args = build_parser().parse_args(base + extra)
+        out = run_round(list(reads), 1, args, Logger())
+        return [(r.name, r.data) for r in out]
+
+    auto = round1([])
+    sens = round1(["--sensitive"])
+    noauto = round1(["--no-auto-sensitive"])
+    assert auto == sens
+    assert auto != noauto  # escalation actually fired and changed round 1
 
 
 @slow
@@ -56,6 +89,7 @@ def test_pipeline_golden_pb_threads(tmp_path):
             "pb",
             "--backend",
             "host",
+            "--no-auto-sensitive",
             "-t",
             "4",
         ]

@@ -244,3 +244,78 @@ def test_sensitive_presets():
     assert (s.k, s.w, s.min_anchors) == (15, 3, 3) and s.hpc
     so = OverlapParams.for_platform("ont", sensitive=True)
     assert (so.k, so.w, so.min_anchors) == (13, 3, 3) and not so.hpc
+
+
+def _noisy_pool(noise, n_reads=60, genome_len=15000, read_len=2500, seed=7):
+    from scripts.e2e_bench import mutate, rand_seq as rseq
+
+    rng = np.random.default_rng(seed)
+    g = rseq(rng, genome_len)
+    reads, iv = [], []
+    for i in range(n_reads):
+        s = int(rng.integers(0, genome_len - read_len))
+        # pb error profile (10% sub / 55% ins / 35% del)
+        reads.append(
+            SeqRecord(
+                f"r{i}",
+                mutate(rng, g[s : s + read_len], noise * 0.10, noise * 0.55, noise * 0.35),
+                None,
+            )
+        )
+        iv.append((s, s + read_len))
+    truth = set()
+    for i in range(n_reads):
+        for j in range(i + 1, n_reads):
+            lo = max(iv[i][0], iv[j][0])
+            hi = min(iv[i][1], iv[j][1])
+            if hi - lo >= 500:
+                truth.add(tuple(sorted((f"r{i}", f"r{j}"))))
+    return reads, truth
+
+
+def _pair_recall(overlaps, truth):
+    found = {tuple(sorted((o.q_name, o.t_name))) for o in overlaps}
+    return len(found & truth) / max(1, len(truth))
+
+
+def test_auto_escalation_15pct_reaches_sensitive_recall():
+    """VERDICT r4 item 8: at 15% pb noise the auto path (no flags) must reach
+    the --sensitive recall instead of the degraded default-preset recall."""
+    from vechat_tpu.pipeline.overlapper import find_overlaps_auto
+
+    reads, truth = _noisy_pool(0.15)
+    params = OverlapParams.for_platform("pb")
+    logs = []
+    auto_ov, escalated = find_overlaps_auto(reads, params, log=logs.append)
+    assert escalated
+    assert any("sensitive" in m for m in logs)
+    sens_ov = find_overlaps(
+        reads, OverlapParams.for_platform("pb", sensitive=True)
+    )
+    r_auto = _pair_recall(filter_fpa(auto_ov), truth)
+    r_sens = _pair_recall(filter_fpa(sens_ov), truth)
+    r_def = _pair_recall(filter_fpa(find_overlaps(reads, params)), truth)
+    assert r_auto == r_sens
+    assert r_auto > r_def
+
+
+def test_auto_escalation_noop_on_clean_reads():
+    """5% noise: default presets are healthy, escalation must not fire and
+    the result must be the plain find_overlaps result."""
+    from vechat_tpu.pipeline.overlapper import find_overlaps_auto
+
+    reads, _truth = _noisy_pool(0.05)
+    params = OverlapParams.for_platform("pb")
+    auto_ov, escalated = find_overlaps_auto(reads, params)
+    assert not escalated
+    plain = find_overlaps(reads, params)
+    assert len(auto_ov) == len(plain)
+
+
+def test_auto_escalation_noop_when_already_sensitive():
+    from vechat_tpu.pipeline.overlapper import find_overlaps_auto
+
+    reads, _ = _noisy_pool(0.15, n_reads=20)
+    sens = OverlapParams.for_platform("pb", sensitive=True)
+    _ov, escalated = find_overlaps_auto(reads, sens)
+    assert not escalated

@@ -21,6 +21,7 @@ from ..pipeline.overlapper import (
     filter_fpa,
     filter_length_identity,
     find_overlaps,
+    find_overlaps_auto,
     refine_identity,
     scrub_reads,
 )
@@ -41,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--sensitive", action="store_true",
         help="high-error-rate overlap presets (shorter k, denser "
         "minimizers) for >=15%%-error reads",
+    )
+    p.add_argument(
+        "--no-auto-sensitive", action="store_true",
+        help="disable automatic escalation to the sensitive presets when "
+        "round-1 overlap health looks degraded (high divergence or thin "
+        "per-read coverage)",
     )
     p.add_argument("--split", action="store_true", help="chunk targets")
     p.add_argument("--split-size", type=int, default=1000000)
@@ -121,6 +128,22 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _discover_overlaps(reads, args, iteration, logger, target_names=None):
+    """Round-aware native overlap discovery. Round 1 auto-escalates to the
+    sensitive presets when overlap health is degraded (find_overlaps_auto;
+    VERDICT r4 item 8) unless --no-auto-sensitive or --sensitive was given;
+    round 2 runs on corrected reads where the default presets are fine."""
+    params = OverlapParams.for_platform(
+        args.platform, sensitive=getattr(args, "sensitive", False)
+    )
+    if iteration == 1 and not getattr(args, "no_auto_sensitive", False):
+        overlaps, _ = find_overlaps_auto(
+            reads, params, target_names=target_names, log=logger.log
+        )
+        return overlaps
+    return find_overlaps(reads, params, target_names=target_names)
+
+
 def run_round(
     reads: List[SeqRecord],
     iteration: int,
@@ -134,8 +157,7 @@ def run_round(
     if overlaps_path:
         overlaps = read_paf(overlaps_path)
     else:
-        params = OverlapParams.for_platform(args.platform, sensitive=getattr(args, 'sensitive', False))
-        overlaps = find_overlaps(reads, params)
+        overlaps = _discover_overlaps(reads, args, iteration, logger)
         if iteration == 1:
             # minimap2 | awk '$11>=500' | fpa drop (scripts/vechat:37-39)
             overlaps = filter_length_identity(overlaps, min_block=500)
@@ -266,7 +288,6 @@ def run_round_targets(
     elif overlaps_path:
         overlaps = read_paf(overlaps_path)
     else:
-        params = OverlapParams.for_platform(args.platform, sensitive=getattr(args, 'sensitive', False))
         # overlap chunk targets vs all queries (both roles present);
         # target_names restricts pair expansion so each chunk does ~1/K of
         # the all-vs-all work instead of recomputing the full matrix
@@ -277,7 +298,9 @@ def run_round_targets(
         tnames_set = {t.name for t in targets}
         all_reads = list(pool.values())
         restrict = tnames_set if len(targets) < len(all_reads) else None
-        overlaps = find_overlaps(all_reads, params, target_names=restrict)
+        overlaps = _discover_overlaps(
+            all_reads, args, iteration, logger, target_names=restrict
+        )
         if iteration == 1:
             overlaps = filter_length_identity(overlaps, min_block=500)
             overlaps = filter_fpa(overlaps)
@@ -384,8 +407,7 @@ def run_round_stream(
     if overlaps_path is None:
         # global overlap phase: the one O(total reads) resident phase
         reads = read_fastx(reads_path)
-        params = OverlapParams.for_platform(args.platform, sensitive=getattr(args, 'sensitive', False))
-        overlaps = find_overlaps(reads, params)
+        overlaps = _discover_overlaps(reads, args, iteration, logger)
         if iteration == 1:
             overlaps = filter_length_identity(overlaps, min_block=500)
             overlaps = filter_fpa(overlaps)

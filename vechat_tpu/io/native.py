@@ -28,6 +28,9 @@ def _build() -> Optional[ctypes.CDLL]:
     if not os.path.exists(_SRC):
         return None
     if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        # build to a temp path + atomic rename so a running process with the
+        # old .so mapped keeps its inode
+        tmp = _LIB + ".build.%d" % os.getpid()
         cmd = [
             "g++",
             "-O3",
@@ -36,12 +39,15 @@ def _build() -> Optional[ctypes.CDLL]:
             "-fPIC",
             _SRC,
             "-o",
-            _LIB,
+            tmp,
             "-lz",
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(tmp, _LIB)
         except Exception:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
             return None
     lib = ctypes.CDLL(_LIB)
     lib.fastx_parse.restype = ctypes.c_void_p

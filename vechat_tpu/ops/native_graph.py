@@ -69,19 +69,25 @@ def _build():
         # results stay byte-identical. Falls back to portable -O3 when the
         # native build fails or does not load.
         built = False
+        # build to a temp path and rename: atomic replace keeps the old
+        # inode alive for any running process that still has it mapped
+        tmp = _LIB + ".build.%d" % os.getpid()
         for extra in (["-march=native", "-funroll-loops"], []):
             cmd = (
                 ["g++", "-O3", "-std=c++17", "-shared", "-fPIC"]
                 + extra
-                + [_SRC, "-o", _LIB]
+                + [_SRC, "-o", tmp]
             )
             try:
                 subprocess.run(cmd, check=True, capture_output=True, timeout=180)
             except Exception:
                 continue
-            if _loads_ok(_LIB):
+            if _loads_ok(tmp):
+                os.replace(tmp, _LIB)
                 built = True
                 break
+        if os.path.exists(tmp):
+            os.unlink(tmp)
         if not built:
             return None
     lib = ctypes.CDLL(_LIB)

@@ -415,6 +415,91 @@ def find_overlaps(
     return out
 
 
+# ------------------------------------------------- sensitivity auto-escalation
+
+# Median matched-anchor fraction (num_matches / alignment_length of each
+# discovered overlap — the native analog of minimap2's dv divergence
+# estimate) below which the default presets are known-degraded and the
+# --sensitive presets win. Calibrated on the chain_eval synthetic
+# (scripts/chain_eval.py, 80 x 2.5 kb reads): pb med 0.37 @ 10% noise vs
+# 0.20 @ 15% (sensitive recall 0.78 -> 0.92 there); ont med 0.20 @ 10% vs
+# 0.08 @ 15% (recall 0.37 -> 0.75). The reference's fixed ava presets have
+# the same cliff and no escalation (scripts/vechat:37-39).
+ESCALATE_MATCH_FRAC = {"pb": 0.28, "ont": 0.15}
+# Thin-coverage trigger: fraction of reads whose summed overlap depth is
+# under 3 (windows need >= 3 sequences to polish, src/window.cpp:187-192).
+ESCALATE_THIN_DEPTH = 3.0
+ESCALATE_THIN_FRAC = 0.2
+
+
+def overlap_health(
+    reads: Sequence[SeqRecord],
+    overlaps: Sequence[PafRecord],
+    target_names: Optional[set] = None,
+) -> Tuple[float, float]:
+    """(median matched-anchor fraction, fraction of reads with summed
+    overlap depth < ESCALATE_THIN_DEPTH). Depth of a read = sum of its
+    query-side overlap spans / read length; both orderings of each pair are
+    in `overlaps` (--dual=yes) so the query side alone covers every read.
+    When `target_names` restricted discovery, only those reads are scored."""
+    names = [r.name for r in reads]
+    if target_names is not None:
+        names = [n for n in names if n in target_names]
+    if not names:
+        return 1.0, 0.0
+    depth = {n: 0.0 for n in names}
+    mf: List[float] = []
+    for ov in overlaps:
+        mf.append(ov.num_matches / max(1, ov.alignment_length))
+        if ov.q_name in depth and ov.q_length > 0:
+            depth[ov.q_name] += (ov.q_end - ov.q_begin) / ov.q_length
+    med_mf = float(np.median(mf)) if mf else 0.0
+    thin = sum(1 for v in depth.values() if v < ESCALATE_THIN_DEPTH) / len(depth)
+    return med_mf, thin
+
+
+def find_overlaps_auto(
+    reads: Sequence[SeqRecord],
+    params: Optional[OverlapParams] = None,
+    target_names: Optional[set] = None,
+    log=None,
+) -> Tuple[List[PafRecord], bool]:
+    """find_overlaps + automatic --sensitive escalation (VERDICT r4 item 8).
+
+    Runs discovery with `params`; when the result looks degraded — median
+    matched-anchor fraction under the platform threshold (high-divergence
+    reads) or too many reads left with thin overlap coverage — re-runs with
+    the sensitive presets and keeps the larger result set. Returns
+    (overlaps, escalated). No-op when `params` already is a sensitive
+    preset. `log` is an optional callable(str) for the mandated log line."""
+    params = params or OverlapParams()
+    overlaps = find_overlaps(reads, params, target_names=target_names)
+    sens = OverlapParams.for_platform(params.platform, sensitive=True)
+    if (params.k, params.w, params.min_anchors) == (
+        sens.k, sens.w, sens.min_anchors
+    ):
+        return overlaps, False
+    med_mf, thin = overlap_health(reads, overlaps, target_names)
+    thr = ESCALATE_MATCH_FRAC.get(params.platform, 0.0)
+    if med_mf >= thr and thin <= ESCALATE_THIN_FRAC:
+        return overlaps, False
+    if log:
+        log(
+            f"overlap health: median match fraction {med_mf:.3f} "
+            f"(threshold {thr}), thin-coverage fraction {thin:.2f} — "
+            f"re-running discovery with sensitive presets"
+        )
+    escalated = find_overlaps(reads, sens, target_names=target_names)
+    if len(escalated) < len(overlaps):
+        if log:
+            log(
+                f"sensitive presets found fewer overlaps "
+                f"({len(escalated)} < {len(overlaps)}); keeping default result"
+            )
+        return overlaps, False
+    return escalated, True
+
+
 # ------------------------------------------------------------------- filters
 
 

@@ -424,8 +424,9 @@ def generate_consensus_haplotype(
             for wi, g in enumerate(pruned)
             if host_backend and hasattr(g, "realign_round")
         ]
+        native_set = set(native_wi)
         generic_wi = [
-            wi for wi in range(len(pruned)) if wi not in set(native_wi)
+            wi for wi in range(len(pruned)) if wi not in native_set
         ]
 
         def native_round(wi):
