@@ -145,3 +145,41 @@ def test_stream_mode_resume(dataset, tmp_path):
     assert (rd / "round1.chunk00001.rec").exists()
     assert main(base + ["-o", str(out2)]) == 0
     assert out1.read_bytes() == out2.read_bytes()
+
+
+def test_corruption_guard_retries_chunk(dataset, tmp_path, monkeypatch):
+    """Inter-round sanity guard (VERDICT r4 item 10): inject the r4
+    worker-corruption signature (garbage consensus output) into the first
+    polish pass; the guard must detect it, retry with a fresh polisher, and
+    end up byte-identical to an uninjected run."""
+    import vechat_tpu.cli.vechat_main as vm
+
+    genome, reads, path = dataset
+
+    clean_out = tmp_path / "clean.fa"
+    assert vm.main([str(path), "-o", str(clean_out), "--backend", "host"]) == 0
+    clean = clean_out.read_text()
+
+    rng = np.random.default_rng(123)
+    real_polisher = vm.Polisher
+    fail_state = {"armed": True}
+
+    class FaultyPolisher(real_polisher):
+        def polish(self, *a, **kw):
+            out = super().polish(*a, **kw)
+            if fail_state["armed"]:
+                # one-shot corruption: replace every corrected sequence with
+                # random bases of the same length (what a degraded worker
+                # emitted in r4: alignable-looking FASTA, garbage content)
+                fail_state["armed"] = False
+                return [
+                    SeqRecord(r.name, rand_seq(rng, len(r.data)), None)
+                    for r in out
+                ]
+            return out
+
+    monkeypatch.setattr(vm, "Polisher", FaultyPolisher)
+    guarded_out = tmp_path / "guarded.fa"
+    assert vm.main([str(path), "-o", str(guarded_out), "--backend", "host"]) == 0
+    assert not fail_state["armed"]  # fault actually fired
+    assert guarded_out.read_text() == clean

@@ -144,6 +144,102 @@ def _discover_overlaps(reads, args, iteration, logger, target_names=None):
     return find_overlaps(reads, params, target_names=target_names)
 
 
+def _correction_sane(
+    targets: List[SeqRecord],
+    corrected: List[SeqRecord],
+    logger: Logger,
+    sample: int = 8,
+    max_norm_dist: float = 0.4,
+) -> bool:
+    """Cheap output-corruption detector (VERDICT r4 item 10). A corrected
+    read is the error-corrected, coverage-trimmed version of its raw self,
+    so its infix edit distance to the raw read stays within the raw error
+    envelope (error_threshold caps overlaps at 30% divergence,
+    src/main.cpp:48), while unrelated/garbage content sits at the random-
+    sequence null of ~0.49 normalized — 0.4 splits the two regimes. The r4 worker-instability event produced output so
+    corrupted that the round-2 overlapper found 0 of ~362 overlaps — reads
+    that would fail this check by a wide margin. Samples evenly spaced
+    corrected reads; corrupt = majority insane."""
+    if not corrected:
+        return True
+    from ..ops.encode import encode
+    from ..ops.pairwise import edit_distance_infix
+
+    raw_by_name = {t.name: t for t in targets}
+    idx = range(0, len(corrected), max(1, len(corrected) // sample))
+    checked = insane = 0
+    for i in list(idx)[:sample]:
+        c = corrected[i]
+        base = c.name.split()[0]
+        raw = raw_by_name.get(base[:-1] if base.endswith("r") else base)
+        if raw is None or len(c.data) == 0:
+            continue
+        checked += 1
+        d = edit_distance_infix(encode(c.data), encode(raw.data))
+        if d / max(1, len(c.data)) > max_norm_dist:
+            insane += 1
+    if checked and insane * 2 > checked:
+        logger.log(
+            f"correction sanity check FAILED: {insane}/{checked} sampled "
+            f"reads do not resemble their raw selves"
+        )
+        return False
+    return True
+
+
+def _polish_guarded(
+    targets: List[SeqRecord],
+    queries: List[SeqRecord],
+    overlaps,
+    linear: bool,
+    args,
+    logger: Logger,
+) -> List[SeqRecord]:
+    """Build the polisher, polish, and retry ONCE with a fresh backend when
+    the output fails the corruption guard (the r4 worker-instability
+    signature: a degraded remote device worker silently emitting garbage —
+    reference analog: per-window CPU fallback on GPU consensus failure,
+    src/cuda/cudapolisher.cpp:355-374)."""
+    from .racon_main import make_backend
+
+    def one_pass() -> List[SeqRecord]:
+        polisher = Polisher(
+            polisher_type=POLISHER_FRAGMENT,
+            haplotype=not linear,
+            min_confidence=args.min_confidence,
+            min_support=args.min_support,
+            num_prune=3,
+            window_length=args.window_length,
+            quality_threshold=args.quality_threshold,
+            error_threshold=args.error_threshold,
+            trim=True,
+            match=args.match,
+            mismatch=args.mismatch,
+            gap=args.gap,
+            backend=make_backend(
+                args.backend, args.match, args.mismatch, args.gap,
+                threads=args.threads,
+            ),
+            logger=logger,
+            threads=args.threads,
+        )
+        polisher.initialize(targets, queries, overlaps)
+        return polisher.polish(
+            drop_unpolished_sequences=not args.include_unpolished
+        )
+
+    corrected = one_pass()
+    if not _correction_sane(targets, corrected, logger):
+        logger.log("retrying correction pass with a fresh backend")
+        corrected = one_pass()
+        if not _correction_sane(targets, corrected, logger):
+            logger.log(
+                "correction sanity check failed twice; emitting the retry "
+                "result — inspect the device worker"
+            )
+    return corrected
+
+
 def run_round(
     reads: List[SeqRecord],
     iteration: int,
@@ -192,27 +288,7 @@ def run_round(
             write_paf(overlaps, args.keep_paf)
     logger.log(f"round {iteration}: {len(overlaps)} overlaps")
 
-    from .racon_main import make_backend
-
-    polisher = Polisher(
-        polisher_type=POLISHER_FRAGMENT,
-        haplotype=not linear,
-        min_confidence=args.min_confidence,
-        min_support=args.min_support,
-        num_prune=3,
-        window_length=args.window_length,
-        quality_threshold=args.quality_threshold,
-        error_threshold=args.error_threshold,
-        trim=True,
-        match=args.match,
-        mismatch=args.mismatch,
-        gap=args.gap,
-        backend=make_backend(args.backend, args.match, args.mismatch, args.gap, threads=args.threads),
-        logger=logger,
-        threads=args.threads,
-    )
-    polisher.initialize(reads, reads, overlaps)
-    return polisher.polish(drop_unpolished_sequences=not args.include_unpolished)
+    return _polish_guarded(reads, reads, overlaps, linear, args, logger)
 
 
 def run_round_split(
@@ -351,27 +427,7 @@ def run_round_targets(
             ]
         return []
 
-    from .racon_main import make_backend
-
-    polisher = Polisher(
-        polisher_type=POLISHER_FRAGMENT,
-        haplotype=not linear,
-        min_confidence=args.min_confidence,
-        min_support=args.min_support,
-        num_prune=3,
-        window_length=args.window_length,
-        quality_threshold=args.quality_threshold,
-        error_threshold=args.error_threshold,
-        trim=True,
-        match=args.match,
-        mismatch=args.mismatch,
-        gap=args.gap,
-        backend=make_backend(args.backend, args.match, args.mismatch, args.gap, threads=args.threads),
-        logger=logger,
-        threads=args.threads,
-    )
-    polisher.initialize(targets, queries, overlaps)
-    return polisher.polish(drop_unpolished_sequences=not args.include_unpolished)
+    return _polish_guarded(targets, queries, overlaps, linear, args, logger)
 
 
 def run_round_stream(
