@@ -138,6 +138,70 @@ def test_pallas_ov_mode():
 
 
 @heavy
+@pytest.mark.parametrize("mode", ["nw", "sw", "ov"])
+def test_rle_walk_matches_dense(mode):
+    """Run-compressed traceback (emit_rle) expands to the exact pairs of
+    the dense walk — same dirs tensor, two walk formulations."""
+    from vechat_tpu.ops.kernels.poa_pallas import expand_runs_np
+
+    rng = np.random.default_rng(7)
+    base = rand_seq(rng, 48)
+    graphs = [build_graph([mutate(rng, base) for _ in range(3)]) for _ in range(2)]
+    seq_lists = [
+        [encode(mutate(rng, base)) for _ in range(3)] for _ in range(2)
+    ]
+    N, P, W = 128, 8, 64
+    B = len(graphs)
+    D = max(len(s) for s in seq_lists)
+    codes = np.zeros((B, 1, N), np.int32)
+    preds = np.zeros((B, P, N), np.int32)
+    sink = np.zeros((B, 1, N), np.int32)
+    nid = np.zeros((B, 1, N), np.int32)
+    nn = np.zeros((B, 1, 1), np.int32)
+    seqp = np.full((B, D, W), 0xFF, np.int32)
+    slen = np.ones((B, 1, D), np.int32)
+    seqp[:, :, 1] = 0
+    for b, (gr, seqs) in enumerate(zip(graphs, seq_lists)):
+        d = graph_to_dense(gr, N, P)
+        codes[b, 0] = d["codes"]
+        preds[b] = d["preds"].T
+        sink[b, 0] = d["is_sink"].astype(np.int32)
+        nid[b, 0] = d["node_id"]
+        nn[b, 0, 0] = d["n_nodes"]
+        for di, q in enumerate(seqs):
+            seqp[b, di, 1 : 1 + len(q)] = q
+            slen[b, 0, di] = len(q)
+    args = tuple(
+        jnp.asarray(a) for a in (codes, preds, sink, nid, nn, seqp, slen)
+    )
+    kw = dict(align_type=mode, m=3, x=-5, g=-4, interpret=True,
+              emit_node_ids=False)
+    pn_d, pp_d, cnt_d, score_d = poa_align_pallas(*args, **kw)
+    runs, steps, cnt_r, score_r = poa_align_pallas(*args, emit_rle=True, **kw)
+    pn_d, pp_d, cnt_d = np.asarray(pn_d), np.asarray(pp_d), np.asarray(cnt_d)
+    runs, steps, cnt_r = np.asarray(runs), int(steps), np.asarray(cnt_r)
+    L = pn_d.shape[2]
+    assert steps < runs.shape[0]
+    assert (runs[steps:] == 0).all()
+    np.testing.assert_array_equal(cnt_r, cnt_d)
+    np.testing.assert_array_equal(np.asarray(score_r), np.asarray(score_d))
+    pn_e, pp_e, cnt_e = expand_runs_np(runs, B, D, L)
+    np.testing.assert_array_equal(cnt_e, cnt_d[:, 0, :])
+    for b in range(B):
+        for di in range(D):
+            c = int(cnt_d[b, 0, di])
+            np.testing.assert_array_equal(
+                pn_e[b, di, L - c :], pn_d[b, di, L - c :], err_msg=f"{b},{di}"
+            )
+            np.testing.assert_array_equal(
+                pp_e[b, di, L - c :], pp_d[b, di, L - c :], err_msg=f"{b},{di}"
+            )
+    # rle must genuinely compress even on these short/noisy inputs (steps
+    # round up to the walk's UNROLL=4; real 500 bp windows compress ~5-10x)
+    assert steps < 0.8 * int(cnt_d.max())
+
+
+@heavy
 def test_pallas_deep_graph():
     rng = np.random.default_rng(2)
     base = rand_seq(rng, 30)

@@ -343,8 +343,12 @@ class PallasAlignerBackend:
         )
         if self._n_dev > 1:
             pn, pp, count, _ = self._sharded_fn(mode, rb)(*args)
+            pending = ("dense", pn, pp, count)
         else:
-            pn, pp, count, _ = poa_align_pallas(
+            # rle traceback: run-compressed headers instead of dense pairs —
+            # the walk takes ~2x fewer serial gather steps on device AND the
+            # fetch moves ~4-8x fewer bytes through the ~10 MB/s tunnel
+            runs, steps, count, _ = poa_align_pallas(
                 *args,
                 align_type=mode,
                 m=m,
@@ -353,30 +357,46 @@ class PallasAlignerBackend:
                 interpret=self.interpret,
                 ring=rb,
                 emit_node_ids=False,
+                emit_rle=True,
             )
+            pending = ("rle", runs, steps, count)
         self.t_device += _time.perf_counter() - _t0
         self.n_dispatches += 1
-        return (pn, pp, count, nid, nn, slen, packed)
+        return pending + (nid, nn, slen, packed, dcap)
 
     def _finish_chunk(self, items, results, pending):
         import time as _time
 
-        pn, pp, count, nid, nn, slen, packed = pending
+        kind, a1, a2, count, nid, nn, slen, packed, dcap = pending
         _t0 = _time.perf_counter()
-        pn = np.asarray(pn)
-        pp = np.asarray(pp)
         count = np.asarray(count)
+        if kind == "rle":
+            runs, steps = a1, int(a2)
+            # fetch only the rows the walk used (runs beyond are zero) —
+            # the compressed form moves ~4-8x fewer bytes than dense pairs
+            runs = np.asarray(runs[:steps]) if steps else np.zeros(
+                (0, a1.shape[1]), np.int32
+            )
+        else:
+            pn = np.asarray(a1)
+            pp = np.asarray(a2)
+            L = pn.shape[2]
         self.t_device += _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
-        L = pn.shape[2]
-        from .poa_pallas import ranks_to_node_ids_np
+        from .poa_pallas import ranks_to_node_ids_np, runs_to_pairs_np
 
         for b, idxs in packed:
             nid_b = nid[b, 0]
             for di, i in enumerate(idxs):
                 c = int(count[b, 0, di])
-                seg = ranks_to_node_ids_np(pn[b, di, L - c :], nid_b)
-                aln = list(zip(seg.tolist(), pp[b, di, L - c :].tolist()))
+                if kind == "rle":
+                    seg, ppw = runs_to_pairs_np(runs[:, b * dcap + di])
+                    seg = ranks_to_node_ids_np(seg, nid_b)
+                    aln = list(zip(seg.tolist(), ppw.tolist()))
+                else:
+                    seg = ranks_to_node_ids_np(pn[b, di, L - c :], nid_b)
+                    aln = list(zip(seg.tolist(), pp[b, di, L - c :].tolist()))
+                assert len(aln) == c
                 results[i] = aln
                 self.device_alignments += 1
                 self.cell_updates += int(nn[b, 0, 0]) * int(slen[b, 0, di])

@@ -103,9 +103,29 @@ def max_pred_distance(preds_np: np.ndarray, n_nodes: int) -> int:
 
 
 def _sh_bits(P: int) -> int:
-    """Bits below the value field: priority code (codes span [0, 2P+1])
-    plus the DELTA_BITS predecessor-distance field."""
-    return int(np.ceil(np.log2(2 * P + 2))) + DELTA_BITS
+    """Bits below the value field: priority code (codes span [0, 2P+1] plus
+    two reserved run-marker codes at the top of the field) plus the
+    DELTA_BITS predecessor-distance field."""
+    return int(np.ceil(np.log2(2 * P + 4))) + DELTA_BITS
+
+
+def _markers(P: int):
+    """Run-marker priority codes (top two values of the prio field).
+
+    The DP kernel rewrites the direction code of cells whose chosen move is
+    diagonal-delta-1 (resp. vertical-delta-1) to MARKER_D (resp. MARKER_V),
+    storing the length of the maximal chain of such cells ending here in
+    the delta field. The traceback can then either take the move one step
+    at a time (delta 1 implied — byte-identical to the unmarked walk) or
+    jump the whole run in ONE gather step (rle mode), which is where the
+    walk's cost lives (~12 ns per gathered index on v5e, measured
+    scripts/prof_tb2.py). Run pairs are arithmetic ((i-1-k, j-1-k) resp.
+    (i-1-k, -1)) so no per-pair memory traffic is needed."""
+    pb = _sh_bits(P) - DELTA_BITS
+    if pb > 6:
+        raise ValueError(f"P={P} pushes marker codes past int16 direction range")
+    marker_d = (1 << pb) - 1
+    return marker_d, marker_d - 1
 
 
 def _dp_kernel(
@@ -127,6 +147,8 @@ def _dp_kernel(
     H,  # [R+1, D, W] int16 DP value ring; slot R pins the row-0 boundary
     PROF,  # [NCODES, D, W] int32: (match/mismatch << SH) per alphabet code
     BESTC,  # [D, W] int32 packed (value * TIE + (TIE-1 - row))
+    RLD,  # [D, W] int32: diag-delta-1 run length of the PREVIOUS row
+    RLV,  # [D, W] int32: vert-delta-1 run length of the PREVIOUS row
     *,
     N: int,
     D: int,
@@ -144,6 +166,8 @@ def _dp_kernel(
     MASKC = (1 << SH) - 1
     HORIZ_CODE = 1 << DELTA_BITS  # prio 1, delta 0
     STOP_CODE = 0
+    MARKER_D, MARKER_V = _markers(P)
+    DMASK = (1 << DELTA_BITS) - 1
     c = pl.program_id(1)
     jlane = lax.broadcasted_iota(jnp.int32, (D, W), 1)
     jg = jlane * jnp.int32(g)
@@ -178,6 +202,9 @@ def _dp_kernel(
             PROF[code] = (
                 jnp.where(seqp == code, jnp.int32(m), jnp.int32(x)) << SH
             )
+        # DP row 0 (the boundary row) has no diag/vert moves
+        RLD[:, :] = jnp.zeros((D, W), jnp.int32)
+        RLV[:, :] = jnp.zeros((D, W), jnp.int32)
 
     def slot_range(acc, prof_c, r, lo, hi):
         # vert pack = diag pack - (P << DELTA_BITS): vprio = dprio - P
@@ -230,6 +257,23 @@ def _dp_kernel(
         if align_type == "sw":
             dcode = jnp.where(run == 0, STOP_CODE, dcode)
         H[lax.rem(hr - 1, R)] = run.astype(jnp.int16)
+        # run-length compression: chains of diag-delta-1 (resp. vert-delta-1)
+        # moves are rewritten to marker codes carrying the chain length so
+        # the traceback can jump a whole run per gather (scripts/prof_tb2.py:
+        # the gather IS the walk cost). Happens after all DP selection —
+        # values, priorities, and move semantics are untouched.
+        pr = dcode >> DELTA_BITS
+        dl = dcode & DMASK
+        isd1 = (pr >= P + 2) & (dl == 1)
+        isv1 = (pr >= 2) & (pr <= P + 1) & (dl == 1)
+        rld = jnp.where(
+            isd1, jnp.minimum(pltpu.roll(RLD[:, :], 1, axis=1) + 1, DMASK), 0
+        )
+        rlv = jnp.where(isv1, jnp.minimum(RLV[:, :] + 1, DMASK), 0)
+        dcode = jnp.where(isd1, (MARKER_D << DELTA_BITS) | rld, dcode)
+        dcode = jnp.where(isv1, (MARKER_V << DELTA_BITS) | rlv, dcode)
+        RLD[:, :] = rld
+        RLV[:, :] = rlv
         dirs_ref[0, hr - c * CH] = dcode.astype(jnp.int16)
 
         # running best cell: pack (value, row) so one max keeps the highest
@@ -283,6 +327,26 @@ def _dp_kernel(
         score_ref[0, 0] = score_max[:, 0]
 
 
+def _decode_move(code, P, align_type):
+    """Decode a direction code into (is_diag, is_vert, delta_eff, is_run,
+    run_len). Marker codes (run-compressed diag/vert-delta-1 chains) decode
+    as their single-step move with delta 1; run_len carries the jumpable
+    chain length for the rle walk."""
+    MARKER_D, MARKER_V = _markers(P)
+    DMASK = (1 << DELTA_BITS) - 1
+    pr = code >> DELTA_BITS
+    dl = code & DMASK
+    is_mrkd = pr == MARKER_D
+    is_mrkv = pr == MARKER_V
+    is_run = is_mrkd | is_mrkv
+    is_diag = ((pr >= P + 2) & (pr < MARKER_V)) | is_mrkd
+    is_vert = ((pr >= 2) & (pr <= P + 1)) | is_mrkv
+    delta_eff = jnp.where(is_run, 1, dl)
+    run_len = jnp.where(is_run, dl, 1)
+    is_stop = pr == 0
+    return is_diag, is_vert, delta_eff, is_run, run_len, is_stop
+
+
 def _traceback_walk(dirs, maxi, maxj, align_type, L, P):
     """All B*D walks advance together; ONE gather per step; early exit.
 
@@ -293,8 +357,6 @@ def _traceback_walk(dirs, maxi, maxj, align_type, L, P):
     `node_id` afterwards (host numpy, or _ranks_to_node_ids in-jit).
     """
     B, N1P, D, W = dirs.shape
-    STOP_IDX = 2 * P + 1
-    DMASK = (1 << DELTA_BITS) - 1
     BD = B * D
     cf = dirs.reshape(-1)
     bidx = jnp.arange(BD, dtype=jnp.int32) // D
@@ -316,35 +378,23 @@ def _traceback_walk(dirs, maxi, maxj, align_type, L, P):
     # (the last batch can run to step L+UNROLL-2 with all lanes inactive)
     LP = L + UNROLL
 
-    # XLA TPU gather cost is superlinear in index count (~free at <=256
-    # indices, 13us at 2048, 54us/step at 3072 on v5e) — split each step's
-    # gather into <=256-index chunks that the scheduler pipelines
-    GCHUNK = 256
-    NG = -(-BD // GCHUNK)
-    PADBD = NG * GCHUNK
-
+    # one plain take per step: TPU gather cost is LINEAR in index count
+    # (~11.7 ns/idx at every size 128..4096, slope-measured
+    # scripts/prof_tb5.py — r4's "superlinear" reading was roundtrip-
+    # polluted), so chunked gathers only add slice/concat overhead
     def _gather(flat):
-        if NG == 1:
-            return jnp.take(cf, flat).astype(jnp.int32)
-        flat = jnp.pad(flat, (0, PADBD - BD))
-        parts = [
-            jnp.take(cf, lax.dynamic_slice(flat, (g * GCHUNK,), (GCHUNK,)))
-            for g in range(NG)
-        ]
-        return jnp.concatenate(parts)[:BD].astype(jnp.int32)
+        return jnp.take(cf, flat).astype(jnp.int32)
 
     def one_step(step, i, j, cnt, active, pn, pp):
         flat = ((bidx * N1P + i) * D + didx) * W + j
         code = _gather(flat)
-        prio = code >> DELTA_BITS
-        delta = code & DMASK
-        idx = STOP_IDX - prio
+        is_diag, is_vert, delta, _, _, is_stop = _decode_move(
+            code, P, align_type
+        )
         if align_type == "sw":
-            do = active & (idx != STOP_IDX)
+            do = active & ~is_stop
         else:
             do = active
-        is_diag = idx < P
-        is_vert = (idx >= P) & (idx < 2 * P)
         prev_i = jnp.where(is_diag | is_vert, i - delta, i)
         prev_i = jnp.where(delta == 0, jnp.where(is_diag | is_vert, 0, i), prev_i)
         prev_j = jnp.where(is_diag | (~is_vert), j - 1, j)
@@ -387,6 +437,161 @@ def _traceback_walk(dirs, maxi, maxj, align_type, L, P):
     pn = pn[:, LP - L :]
     pp = pp[:, LP - L :]
     cnt = jnp.where(started, cnt, 0)
+    return (
+        pn.reshape(B, D, L),
+        pp.reshape(B, D, L),
+        cnt.reshape(B, D),
+    )
+
+
+# RLE run-header field layout (packed int32, nonnegative):
+#   bits [19, 31): pn0 + 2   (first pair's rank field; -1 = insertion)
+#   bits [9, 19):  pp0 + 2   (first pair's position field; -1 = deletion)
+#   bits [0, 9):   r          (pairs in this step; 0 = inactive step)
+# Pair k of a step (k in [0, r)) is (pn0 - k*dn, pp0 - k*dp) with dn = 1,
+# dp = (pp0 >= 0) for r > 1 (arithmetic runs); r == 1 steps use the header
+# pair verbatim. Headers are written in walk order (back-to-front pairs).
+RUN_R_BITS = 9
+RUN_PP_BITS = 10
+RUN_PN_SHIFT = RUN_R_BITS + RUN_PP_BITS
+
+
+def _traceback_walk_rle(dirs, maxi, maxj, align_type, L, P):
+    """Run-jumping traceback: marker cells advance a whole diag/vert run in
+    one gather step, emitting ONE packed header per step; pairs are expanded
+    arithmetically by the consumer (expand_runs_np — np.repeat, C speed).
+
+    ~6-10x fewer serial gather steps than _traceback_walk on real windows
+    (the per-step [BD]-index gather is the entire walk cost; see
+    scripts/prof_tb2.py). Returns (runs [LP, B*D] int32 walk-order headers,
+    steps scalar int32 = used rows, count [B, D] total pairs)."""
+    B, N1P, D, W = dirs.shape
+    BD = B * D
+    cf = dirs.reshape(-1)
+    bidx = jnp.arange(BD, dtype=jnp.int32) // D
+    didx = jnp.arange(BD, dtype=jnp.int32) % D
+    i0 = maxi[:, 0, :].reshape(BD)
+    j0 = maxj[:, 0, :].reshape(BD)
+    started = ~((i0 == 0) & (j0 == 0))
+    if align_type == "ov":
+        active0 = started & (i0 != 0) & (j0 != 0)
+    else:
+        active0 = started
+
+    # while_loop iteration overhead is ~90 us on this chip — a large unroll
+    # amortizes it; the <=UNROLL-1 step overshoot costs one gather each
+    # (~48 us at BD=4096), still a clear net win over UNROLL=4
+    UNROLL = 16
+    LP = L + UNROLL
+
+    def _gather(flat):
+        # linear-cost gather — see the note in _traceback_walk
+        return jnp.take(cf, flat).astype(jnp.int32)
+
+    def cond(st):
+        step, _, _, _, active, _ = st
+        return (step < L) & jnp.any(active)
+
+    def one_step(step, i, j, cnt, active, runs):
+        flat = ((bidx * N1P + i) * D + didx) * W + j
+        code = _gather(flat)
+        is_diag, is_vert, delta, is_run, r, is_stop = _decode_move(
+            code, P, align_type
+        )
+        if align_type == "sw":
+            do = active & ~is_stop
+        else:
+            do = active
+        # single-step (non-run) move target + emitted pair
+        prev_i1 = jnp.where(is_diag | is_vert, i - delta, i)
+        prev_i1 = jnp.where(
+            delta == 0, jnp.where(is_diag | is_vert, 0, i), prev_i1
+        )
+        prev_j1 = jnp.where(is_diag | (~is_vert), j - 1, j)
+        pn0 = jnp.where(prev_i1 == i, -1, i - 1)
+        pp0 = jnp.where(prev_j1 == j, -1, j - 1)
+        # run move target: r diag (resp. vert) unit steps at once
+        prev_i = jnp.where(is_run, i - r, prev_i1)
+        prev_j = jnp.where(is_run & is_diag, j - r, prev_j1)
+        header = jnp.where(
+            do,
+            ((pn0 + 2) << RUN_PN_SHIFT)
+            | ((pp0 + 2) << RUN_R_BITS)
+            | jnp.where(is_run, r, 1),
+            0,
+        )
+        runs = lax.dynamic_update_slice(runs, header[None, :], (step, 0))
+        i = jnp.where(do, prev_i, i)
+        j = jnp.where(do, prev_j, j)
+        cnt = cnt + jnp.where(do, jnp.where(is_run, r, 1), 0)
+        if align_type == "sw":
+            nactive = do
+        elif align_type == "nw":
+            nactive = do & ~((i == 0) & (j == 0))
+        else:
+            nactive = do & ~((i == 0) | (j == 0))
+        return step + 1, i, j, cnt, nactive, runs
+
+    def body(st):
+        step, i, j, cnt, active, runs = st
+        for _ in range(UNROLL):
+            step, i, j, cnt, active, runs = one_step(
+                step, i, j, cnt, active, runs
+            )
+        return step, i, j, cnt, active, runs
+
+    runs0 = jnp.zeros((LP, BD), jnp.int32)
+    st = (
+        jnp.int32(0),
+        i0,
+        j0,
+        jnp.zeros(BD, jnp.int32),
+        active0,
+        runs0,
+    )
+    steps, _, _, cnt, _, runs = lax.while_loop(cond, body, st)
+    cnt = jnp.where(started, cnt, 0)
+    return runs, steps, cnt.reshape(B, D)
+
+
+def runs_to_pairs_np(runs_w: np.ndarray):
+    """Expand one walk's headers (runs_w [S] int32, walk order) to
+    front-to-back (pn, pp) int64 arrays. np.repeat does the run stretch."""
+    r = runs_w & ((1 << RUN_R_BITS) - 1)
+    m = r > 0
+    rr = r[m].astype(np.int64)
+    pn0 = ((runs_w[m] >> RUN_PN_SHIFT) & 0xFFF).astype(np.int64) - 2
+    pp0 = ((runs_w[m] >> RUN_R_BITS) & ((1 << RUN_PP_BITS) - 1)).astype(
+        np.int64
+    ) - 2
+    total = int(rr.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    starts = np.zeros(len(rr), np.int64)
+    np.cumsum(rr[:-1], out=starts[1:])
+    k = np.arange(total, dtype=np.int64) - np.repeat(starts, rr)
+    dn = (rr > 1).astype(np.int64)
+    dp = ((rr > 1) & (pp0 >= 0)).astype(np.int64)
+    pn = np.repeat(pn0, rr) - k * np.repeat(dn, rr)
+    pp = np.repeat(pp0, rr) - k * np.repeat(dp, rr)
+    return pn[::-1], pp[::-1]
+
+
+def expand_runs_np(runs: np.ndarray, B: int, D: int, L: int):
+    """Expand [S, B*D] walk-order headers to dense right-aligned pn, pp
+    [B, D, L] int32 (-2 padding) + count [B, D] — the _traceback_walk
+    output format, for parity tests and dense-format consumers."""
+    BD = B * D
+    pn = np.full((BD, L), -2, np.int32)
+    pp = np.full((BD, L), -2, np.int32)
+    cnt = np.zeros(BD, np.int32)
+    for w in range(BD):
+        a, b = runs_to_pairs_np(runs[:, w])
+        c = len(a)
+        cnt[w] = c
+        if c:
+            pn[w, L - c :] = a
+            pp[w, L - c :] = b
     return (
         pn.reshape(B, D, L),
         pp.reshape(B, D, L),
@@ -515,6 +720,8 @@ def _poa_dp_pallas(
             pltpu.VMEM((R + 1, D, W), jnp.int16),
             pltpu.VMEM((NCODES, D, W), jnp.int32),
             pltpu.VMEM((D, W), jnp.int32),
+            pltpu.VMEM((D, W), jnp.int32),
+            pltpu.VMEM((D, W), jnp.int32),
         ],
         interpret=interpret,
     )(codes, aux, deg, sink, n_nodes, seqp, seq_len)
@@ -536,11 +743,20 @@ def _poa_align_pallas_impl(
     dp_only: bool = False,
     ring: int = 0,
     emit_node_ids: bool = True,
+    emit_rle: bool = False,
 ):
     """Returns (pairs_node [B,D,L] int16, pairs_pos [B,D,L] int16,
     count [B,1,D], score [B,1,D]). With emit_node_ids=False, pairs_node
     holds DP ranks (decode on host with ranks_to_node_ids_np — skips a
     [B,D,L] gather).
+
+    With emit_rle=True, returns (runs [L+4, B*D] int32, steps scalar int32,
+    count [B,1,D], score [B,1,D]) instead: run-compressed traceback headers
+    in walk order (expand with expand_runs_np / runs_to_pairs_np; rows
+    beyond `steps` are zero — fetch runs[:steps] to cut wire bytes ~8x).
+    The rle walk jumps whole diag/vert unit-delta runs per gather step,
+    which cuts the serial-gather step count ~6-10x (scripts/prof_tb2.py:
+    the gather IS the walk cost).
 
     Wire-size note: this machine reaches its TPU through a ~10 MB/s tunnel,
     so every input upcasts from the narrowest dtype that fits (int16 graph
@@ -568,6 +784,17 @@ def _poa_align_pallas_impl(
         count = jnp.zeros((B, 1, D), jnp.int32)
         return pn, pp, count, score
 
+    if emit_rle:
+        N1P = dirs.shape[1]
+        if N1P + 1 >= (1 << 12) or W + 1 >= (1 << RUN_PP_BITS):
+            raise ValueError(
+                f"shape N1P={N1P}, W={W} exceeds rle header fields"
+            )
+        runs, steps, count = _traceback_walk_rle(
+            dirs, maxi, maxj, align_type, L, P
+        )
+        return runs, steps, count[:, None, :], score
+
     pn, pp, count = _traceback_walk(dirs, maxi, maxj, align_type, L, P)
     if emit_node_ids:
         pn = _ranks_to_node_ids(pn, node_id)
@@ -583,7 +810,7 @@ _poa_align_pallas_jit = functools.partial(
     jax.jit,
     static_argnames=(
         "align_type", "m", "x", "g", "interpret", "dp_only", "ring",
-        "emit_node_ids",
+        "emit_node_ids", "emit_rle",
     ),
 )(_poa_align_pallas_impl)
 
