@@ -119,6 +119,7 @@ def test_minimizer_anchors_on_similar_seqs():
 def test_device_aligner_small_pairs():
     rng = np.random.default_rng(2)
     aligner = DevicePairwiseAligner(interpret=True)
+    aligner.exact_enabled = False  # pin the anchor-tiled path
     aligner.TILE_T = 31
     aligner.TILE_W = 32
     pairs = []
@@ -136,6 +137,7 @@ def test_device_aligner_small_pairs():
 def test_device_aligner_tiled_long_pair():
     rng = np.random.default_rng(3)
     aligner = DevicePairwiseAligner(interpret=True)
+    aligner.exact_enabled = False  # pin the anchor-tiled path
     aligner.TILE_T = 31
     aligner.TILE_W = 32
     t = rand_codes(rng, 150)
@@ -148,3 +150,56 @@ def test_device_aligner_tiled_long_pair():
     # anchor-tiled alignment is near-optimal (cuts at exact-match anchors)
     assert got <= opt * 1.3 + 5
     assert aligner.device_tiles > 1  # actually tiled
+
+
+@heavy
+def test_exact_banded_byte_parity_small():
+    """Exact banded device mode: CIGAR byte-identical to the host oracle."""
+    from vechat_tpu.ops.pairwise import edit_align
+
+    rng = np.random.default_rng(5)
+    aligner = DevicePairwiseAligner(interpret=True)
+    aligner.EXACT_BUCKETS = ((96, 128),)
+    pairs = []
+    for _ in range(6):
+        t = rand_codes(rng, int(rng.integers(40, 90)))
+        q = noisy(rng, t, 0.1)[:90]
+        pairs.append((q, t))
+    cigars = aligner.edit_align_batch(pairs)
+    assert aligner.exact_pairs == len(pairs)
+    assert aligner.exact_rejects == 0
+    for (q, t), cg in zip(pairs, cigars):
+        assert cg == edit_align(q, t), "device CIGAR != host oracle"
+
+
+@heavy
+def test_exact_banded_byte_parity_2p4kb():
+    """The VERDICT r4 #9 bar: byte-parity on a >=2.4 kb pair through the
+    production (2560, 896) bucket."""
+    from vechat_tpu.ops.pairwise import edit_align
+
+    rng = np.random.default_rng(6)
+    aligner = DevicePairwiseAligner(interpret=True)
+    t = rand_codes(rng, 2450)
+    q = noisy(rng, t, 0.08)[:2550]
+    cigars = aligner.edit_align_batch([(q, t), (q[:100], t[:100])])
+    assert aligner.exact_pairs == 2
+    assert cigars[0] == edit_align(q, t)
+    assert cigars[1] == edit_align(q[:100], t[:100])
+
+
+@heavy
+def test_exact_banded_overflow_falls_back():
+    """Band-overflow pairs are detected and served by the exact host path
+    (still byte-correct), never silently approximated."""
+    from vechat_tpu.ops.pairwise import edit_align
+
+    rng = np.random.default_rng(7)
+    aligner = DevicePairwiseAligner(interpret=True)
+    aligner.EXACT_BUCKETS = ((640, 128),)
+    t = rand_codes(rng, 600)
+    q = noisy(rng, t, 0.5)[:600]  # distance far beyond the 128-band
+    cigars = aligner.edit_align_batch([(q, t)] * 2)
+    assert aligner.exact_rejects == 2
+    for cg in cigars:
+        assert cg == edit_align(q, t)

@@ -113,7 +113,12 @@ def make_backend(name: str, match: int, mismatch: int, gap: int, threads: int = 
     if name == "pallas":
         from ..ops.kernels.backend import PallasAlignerBackend
 
-        return PallasAlignerBackend(match, mismatch, gap)
+        # no accelerator -> interpret mode (XLA:CPU emulation of the
+        # kernels); same numerics, lets the device path run anywhere
+        import jax
+
+        interpret = jax.default_backend() == "cpu"
+        return PallasAlignerBackend(match, mismatch, gap, interpret=interpret)
     # auto: Pallas kernel on a device PROVEN to execute, host oracle
     # otherwise. The probe runs in a subprocess BEFORE this process builds
     # a device client, so a wedged chip costs one bounded timeout instead

@@ -19,6 +19,7 @@ The device path for the reference's Hot Loop #1 — per-overlap edlib NW
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -211,6 +212,209 @@ def pairwise_nw_pallas(*args, interpret: bool = False):
     return _pairwise_nw_pallas_jit(*args, interpret=interpret)
 
 
+# ------------------------------------------------------ exact banded mode
+
+BSUB = 4  # pairs per banded program (DIR scratch budget: (T+1)*BSUB*BW int8)
+
+
+def _kernel_banded(
+    tcodes_ref,  # [1, T, 1, BSUB] int32 target codes
+    tlen_ref,  # [1, 1, BSUB] int32
+    qbuf_ref,  # [1, BSUB, WQ] int32: query codes, PRE-OFFSET so that
+    # buffer[C + i + l] == q[i + lo_d + l - 1] for every pair d (the
+    # per-pair band offset lo_d is absorbed into the host-side placement,
+    # letting one dynamic slice per row serve all BSUB pairs)
+    qlen_ref,  # [1, 1, BSUB] int32
+    lo_ref,  # [1, 1, BSUB] int32: band low diagonal (j - i >= lo)
+    pairs_t_ref,  # [1, BSUB, L] int32 out
+    pairs_q_ref,  # [1, BSUB, L] int32 out
+    count_ref,  # [1, 1, BSUB] int32 out
+    dist_ref,  # [1, 1, BSUB] int32 out
+    H,  # [2, BSUB, BW] int32 scratch (rolling rows)
+    DIR,  # [T+1, BSUB, BW] int8 scratch
+    *,
+    T: int,
+    BW: int,
+    WQ: int,
+    C: int,
+    L: int,
+):
+    """Banded global edit-distance NW in band coordinates: row i = target
+    position, lane l = diagonal offset (query j = i + lo + l). Exact when
+    the final distance fits the band (checked by the caller — Ukkonen's
+    argument: a path with d edits strays at most d diagonals from the
+    corridor [min(0, lq-lt), max(0, lq-lt)]). Move priority at ties is
+    M > D > I, byte-matching the host oracle (ops/pairwise.py
+    _full_dp_cigar and the native Myers traceback)."""
+    g = jnp.int32(-1)
+    neg = jnp.int32(NEG)
+    lvec = lax.broadcasted_iota(jnp.int32, (BSUB, BW), 1)
+    lo = lo_ref[0, 0].reshape(BSUB, 1)
+    qlen = qlen_ref[0, 0].reshape(BSUB, 1)
+    tlen = tlen_ref[0, 0].reshape(BSUB, 1)
+    log_bw = int(np.ceil(np.log2(BW)))
+
+    # row 0: H(0, j) = -j for j in [0, lq]; out-of-band/neg j = NEG
+    j0 = lo + lvec
+    row0 = jnp.where((j0 >= 0) & (j0 <= qlen), j0 * g, neg)
+    H[0] = row0
+    DIR[0] = jnp.full((BSUB, BW), 2, jnp.int8)  # horizontal
+
+    def step(i, _):
+        r = i + 1  # target row 1..T
+        jvec = r + lo + lvec  # query position at each lane
+        valid = (jvec >= 0) & (jvec <= qlen)
+        trow = tcodes_ref[0, i, 0].reshape(BSUB, 1)
+        qwin = qbuf_ref[0, :, pl.ds(C + r, BW)]  # q[r + lo + l - 1]
+        prof = jnp.where(qwin == trow, jnp.int32(0), g)
+        prev = H[lax.rem(i, 2)]
+        # diag: (i-1, j-1) = previous row, same lane
+        diag = jnp.where(jvec >= 1, prev + prof, neg)
+        # vert (consume target): (i-1, j) = previous row, lane l+1
+        # (roll by BW-1 == left-shift by 1 mod BW; edge lane is masked)
+        up = pltpu.roll(prev, BW - 1, axis=1)
+        vert = jnp.where(lvec == BW - 1, neg, up) + g
+        acc = jnp.maximum(diag, vert)
+        # j == 0 boundary column: all-vertical prefix
+        acc = jnp.where(jvec == 0, r * g, acc)
+        # horiz (consume query): in-row prefix shift-max along lanes
+        t = acc - lvec * g
+        for sh in range(log_bw):
+            s = 1 << sh
+            rolled = pltpu.roll(t, s, axis=1)
+            rolled = jnp.where(lvec < s, neg, rolled)
+            t = jnp.maximum(t, rolled)
+        run = t + lvec * g
+        run = jnp.where(valid, run, neg)
+        # freeze rows past this pair's target end (band frame keeps
+        # shifting, but values are only read back at the SAME lane)
+        past = r > tlen
+        run = jnp.where(past, prev, run)
+        H[lax.rem(r, 2)] = run
+
+        d_dir = jnp.full((BSUB, BW), 2, jnp.int32)  # horizontal (I)
+        d_dir = jnp.where(run == vert, 1, d_dir)  # vertical (D)
+        d_dir = jnp.where(run == diag, 0, d_dir)  # diagonal (M) top
+        DIR[r] = jnp.where(past, DIR[i], d_dir.astype(jnp.int8))
+        return 0
+
+    tmax = jnp.max(tlen)
+    lax.fori_loop(0, tmax, step, 0)
+
+    final = H[lax.rem(tmax, 2)]
+    lstar = qlen - tlen - lo  # lane of (tlen, qlen)
+    score = jnp.max(
+        jnp.where(lvec == lstar, final, neg), axis=1, keepdims=True
+    )
+    dist_ref[0, 0] = (-score)[:, 0]
+
+    # in-kernel walks (band coords): diag -> (i-1, l); vert -> (i-1, l+1);
+    # horiz -> (i, l-1); query pos j = i + lo + l
+    bl1 = lax.broadcasted_iota(jnp.int32, (1, BW), 1)
+    lanesL = lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    counts = []
+    for d in range(BSUB):
+        i0 = tlen[d, 0]
+        l0 = qlen[d, 0] - tlen[d, 0] - lo[d, 0]
+        lod = lo[d, 0]
+
+        def cond(state):
+            # hard step bound: pairs whose distance overflows the band are
+            # rejected by the caller, but their walk must still terminate
+            return state[3] & (state[2] < L)
+
+        def body(state):
+            i, l, k, ok, pt, pq = state
+            i = jnp.clip(i, 0, T)
+            l = jnp.clip(l, 0, BW - 1)
+            rowd = DIR[i, d].reshape(1, BW).astype(jnp.int32)
+            dirv = jnp.sum(jnp.where(bl1 == l, rowd, 0))
+            is_diag = dirv == 0
+            is_vert = dirv == 1
+            jq = i + lod + l
+            prev_i = jnp.where(is_diag | is_vert, i - 1, i)
+            prev_l = jnp.where(
+                is_diag, l, jnp.where(is_vert, l + 1, l - 1)
+            )
+            upd = lanesL == (L - 1 - k)
+            pt = jnp.where(upd, jnp.where(i == prev_i, -1, i - 1), pt)
+            pq = jnp.where(
+                upd, jnp.where(is_vert, -1, jq - 1), pq
+            )
+            i, l, k = prev_i, prev_l, k + 1
+            jq2 = i + lod + l
+            return i, l, k, ~((i == 0) & (jq2 == 0)), pt, pq
+
+        pt0 = jnp.full((1, L), -2, jnp.int32)
+        pq0 = jnp.full((1, L), -2, jnp.int32)
+        started = ~((i0 == 0) & (qlen[d, 0] == 0))
+        _, _, k_fin, _, pt, pq = lax.while_loop(
+            cond, body, (i0, l0, jnp.int32(0), started, pt0, pq0)
+        )
+        pairs_t_ref[0, pl.ds(d, 1), :] = pt
+        pairs_q_ref[0, pl.ds(d, 1), :] = pq
+        counts.append(jnp.where(started, k_fin, 0))
+
+    count_ref[0, 0] = jnp.stack(counts)
+
+
+def _pairwise_banded_impl(
+    tcodes,  # [B, T, 1, BSUB]
+    tlen,  # [B, 1, BSUB] int32
+    qbuf,  # [B, BSUB, WQ]
+    qlen,  # [B, 1, BSUB] int32
+    lo,  # [B, 1, BSUB] int32
+    BW: int,
+    C: int,
+    interpret: bool = False,
+):
+    tcodes = tcodes.astype(jnp.int32)
+    qbuf = qbuf.astype(jnp.int32)
+    B, T = tcodes.shape[0], tcodes.shape[1]
+    WQ = qbuf.shape[2]
+    L = T + BW
+    kernel = functools.partial(
+        _kernel_banded, T=T, BW=BW, WQ=WQ, C=C, L=L
+    )
+    vmem = lambda shape: pl.BlockSpec(
+        shape, lambda b: (b,) + (0,) * (len(shape) - 1), memory_space=pltpu.VMEM
+    )
+    pt, pq, count, dist = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            vmem((1, T, 1, BSUB)),
+            vmem((1, 1, BSUB)),
+            vmem((1, BSUB, WQ)),
+            vmem((1, 1, BSUB)),
+            vmem((1, 1, BSUB)),
+        ],
+        out_specs=(
+            vmem((1, BSUB, L)),
+            vmem((1, BSUB, L)),
+            vmem((1, 1, BSUB)),
+            vmem((1, 1, BSUB)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, BSUB, L), jnp.int32),
+            jax.ShapeDtypeStruct((B, BSUB, L), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, BSUB), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, BSUB), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, BSUB, BW), jnp.int32),
+            pltpu.VMEM((T + 1, BSUB, BW), jnp.int8),
+        ],
+        interpret=interpret,
+    )(tcodes, tlen, qbuf, qlen, lo)
+    return pt.astype(jnp.int16), pq.astype(jnp.int16), count, dist
+
+
+_pairwise_banded_jit = functools.partial(
+    jax.jit, static_argnames=("BW", "C", "interpret")
+)(_pairwise_banded_impl)
+
+
 # ------------------------------------------------------ anchors and tiling
 
 
@@ -299,22 +503,52 @@ def tile_cut_points(
 
 
 class DevicePairwiseAligner:
-    """Batched anchor-tiled NW on the pairwise kernel; returns CIGARs."""
+    """Batched device NW on the pairwise kernels; returns CIGARs.
+
+    Two device formulations, routed by size:
+    * EXACT banded mode (default for pairs fitting the band buckets): full
+      global NW over a diagonal corridor, accepted only when the resulting
+      edit distance provably fits the band (Ukkonen: a d-edit path strays
+      at most d diagonals from the corridor), so accepted CIGARs are
+      byte-identical to the host oracle — the parity the reference's
+      accelerated aligner had (src/cuda/cudaaligner.cpp:51-81). Overflow
+      pairs fall back to the exact host Myers path.
+    * anchor-tiled mode for pairs beyond the banded buckets (near-optimal;
+      PARITY.md divergence #3).
+    """
 
     TILE_T = 511  # target rows per tile bucket (T = 512 with +1)
     TILE_W = 512  # query lanes (W)
+    # (T, BW) banded buckets: DIR scratch = (T+1)*BSUB*BW int8 must fit
+    # VMEM next to the row buffers (9.2 MB at 2560x896)
+    EXACT_BUCKETS = ((640, 384), (2560, 896))
 
     def __init__(self, interpret: bool = False):
         self.interpret = interpret
         self.device_tiles = 0
         self.host_fallbacks = 0
+        self.exact_pairs = 0
+        self.exact_rejects = 0  # band overflow -> host fallback
         self.t_tile = 0.0  # anchors + cut points + tile assembly
         self.t_device = 0.0  # dispatch + execute + fetch
         self.t_host = 0.0  # host-fallback tiles/pairs
         self.t_asm = 0.0  # ops -> CIGAR assembly
         self.n_dispatches = 0
+        self.exact_enabled = (
+            os.environ.get("VECHAT_DEVICE_PW_EXACT", "1") == "1"
+        )
 
     MIN_DEVICE_PAIRS = 8
+
+    def _exact_bucket(self, lq: int, lt: int):
+        """Smallest (T, BW) bucket that can hold this pair with a usable
+        verification margin, or None."""
+        for T, BW in self.EXACT_BUCKETS:
+            if lt <= T and lq <= T:
+                k = (BW - 1 - abs(lq - lt)) // 2
+                if k >= 16:  # enough margin to ever accept
+                    return T, BW
+        return None
 
     def edit_align_batch(self, pairs: Sequence[Tuple[np.ndarray, np.ndarray]]):
         import time as _time
@@ -326,6 +560,120 @@ class DevicePairwiseAligner:
             out = [edit_align(np.asarray(q), np.asarray(t)) for q, t in pairs]
             self.t_host += _time.perf_counter() - _t0
             return out
+
+        if self.exact_enabled:
+            exact_idx = {}
+            rest = []
+            for pi, (q, t) in enumerate(pairs):
+                bk = self._exact_bucket(len(q), len(t))
+                if bk is not None:
+                    exact_idx.setdefault(bk, []).append(pi)
+                else:
+                    rest.append(pi)
+            if exact_idx:
+                out: List[Optional[str]] = [None] * len(pairs)
+                for bk, idxs in exact_idx.items():
+                    self._run_exact(
+                        bk, [(pi, pairs[pi]) for pi in idxs], out
+                    )
+                if rest:
+                    tiled = self._tiled_align_batch(
+                        [pairs[pi] for pi in rest]
+                    )
+                    for pi, cg in zip(rest, tiled):
+                        out[pi] = cg
+                return out
+
+        return self._tiled_align_batch(pairs)
+
+    def _run_exact(self, bucket, jobs, out):
+        """Banded exact device alignment for (pi, (q, t)) jobs; rejected
+        (band-overflow) pairs fall back to the exact host path."""
+        import time as _time
+
+        from ..pairwise import edit_align, ops_to_cigar
+
+        T, BW = bucket
+        WQ = T + BW
+        L = T + BW
+        pending = []
+        _t0 = _time.perf_counter()
+        for off in range(0, len(jobs), 64 * BSUB):
+            chunk = jobs[off : off + 64 * BSUB]
+            B = (len(chunk) + BSUB - 1) // BSUB
+            for cand in (8, 64):
+                if cand >= B:
+                    B = cand
+                    break
+            tcodes = np.zeros((B, T, 1, BSUB), np.int16)
+            tlen = np.ones((B, 1, BSUB), np.int32)
+            qbuf = np.full((B, BSUB, WQ), 0xFF, np.int16)
+            qlen = np.zeros((B, 1, BSUB), np.int32)
+            lo = np.zeros((B, 1, BSUB), np.int32)
+            for n, (pi, (q, t)) in enumerate(chunk):
+                b, d = divmod(n, BSUB)
+                lq, lt = len(q), len(t)
+                k = (BW - 1 - abs(lq - lt)) // 2
+                lod = min(0, lq - lt) - k
+                tcodes[b, :lt, 0, d] = t
+                tlen[b, 0, d] = lt
+                # place q so buffer[C + i + l] == q[i + lo + l - 1], C = 0
+                p0 = 1 - lod
+                qbuf[b, d, p0 : p0 + lq] = q
+                qlen[b, 0, d] = lq
+                lo[b, 0, d] = lod
+            _td = _time.perf_counter()
+            pt, pq, count, dist = _pairwise_banded_jit(
+                jnp.asarray(tcodes),
+                jnp.asarray(tlen),
+                jnp.asarray(qbuf),
+                jnp.asarray(qlen),
+                jnp.asarray(lo),
+                BW=BW,
+                C=0,
+                interpret=self.interpret,
+            )
+            self.t_device += _time.perf_counter() - _td
+            self.n_dispatches += 1
+            pending.append((chunk, pt, pq, count, dist))
+        self.t_tile += _time.perf_counter() - _t0
+
+        for chunk, pt, pq, count, dist in pending:
+            _td = _time.perf_counter()
+            pt = np.asarray(pt)
+            pq = np.asarray(pq)
+            count = np.asarray(count)
+            dist = np.asarray(dist)
+            self.t_device += _time.perf_counter() - _td
+            Lr = pt.shape[2]
+            for n, (pi, (q, t)) in enumerate(chunk):
+                b, d = divmod(n, BSUB)
+                lq, lt = len(q), len(t)
+                k = (BW - 1 - abs(lq - lt)) // 2
+                if int(dist[b, 0, d]) <= k - 2:
+                    _ta = _time.perf_counter()
+                    c = int(count[b, 0, d])
+                    tp = pt[b, d, Lr - c :]
+                    qp = pq[b, d, Lr - c :]
+                    ops = np.where(
+                        tp == -1, "I", np.where(qp == -1, "D", "M")
+                    )
+                    from ..pairwise import ops_to_cigar as _otc
+
+                    out[pi] = _otc(ops.tolist())
+                    self.exact_pairs += 1
+                    self.t_asm += _time.perf_counter() - _ta
+                else:
+                    _th = _time.perf_counter()
+                    out[pi] = edit_align(np.asarray(q), np.asarray(t))
+                    self.exact_rejects += 1
+                    self.host_fallbacks += 1
+                    self.t_host += _time.perf_counter() - _th
+
+    def _tiled_align_batch(self, pairs):
+        import time as _time
+
+        from ..pairwise import edit_align, ops_to_cigar
 
         _t0 = _time.perf_counter()
         # 1. tile every pair
