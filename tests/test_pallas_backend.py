@@ -96,3 +96,26 @@ def test_backend_empty_and_oversize_fallback():
     host = LinearAligner("nw", 3, -5, -4)
     assert got[1] == host.align(encode("ACGT"), big)
     assert got[2] == host.align(encode("ACGTACGA"), small)
+
+
+@heavy
+def test_backend_single_device_rle_delta_path(monkeypatch):
+    """The single-device wire path (rle traceback + uint8 delta preds +
+    node-id stub) must be byte-identical to the host oracle. The suite's
+    8-virtual-device platform takes the sharded path by default, so pin
+    _n_dev = 1 to exercise the production single-chip format."""
+    monkeypatch.setattr(backend_mod, "R_BUCKETS", (16, 64))
+    rng = np.random.default_rng(9)
+    base = rand_seq(rng, 24)
+    be = PallasAlignerBackend(3, -5, -4, interpret=True)
+    be._n_dev = 1
+    graphs = [build_graph([mutate(rng, base) for _ in range(3)]) for _ in range(2)]
+    items = []
+    for g in graphs:
+        for _ in range(3):
+            items.append((encode(mutate(rng, base)), g, "nw"))
+    got = be.align_batch(items)
+    assert be.n_dispatches >= 1 and be.fallbacks == 0
+    host = LinearAligner("nw", 3, -5, -4)
+    for (codes, g, _), aln in zip(items, got):
+        assert aln == host.align(codes, g)

@@ -744,6 +744,7 @@ def _poa_align_pallas_impl(
     ring: int = 0,
     emit_node_ids: bool = True,
     emit_rle: bool = False,
+    preds_is_delta: bool = False,
 ):
     """Returns (pairs_node [B,D,L] int16, pairs_pos [B,D,L] int16,
     count [B,1,D], score [B,1,D]). With emit_node_ids=False, pairs_node
@@ -770,6 +771,13 @@ def _poa_align_pallas_impl(
     seqp = seqp.astype(jnp.int32)
     seq_len = seq_len.astype(jnp.int32)
     B, _, N = codes.shape
+    if preds_is_delta:
+        # uint8 wire format: preds carry the predecessor ROW DISTANCE
+        # (delta = row - pred_row, bounded by the ring <= 254) with 255 as
+        # the row-0-boundary sentinel — half the bytes of int16 rows
+        # through the ~10 MB/s tunnel; reconstruct rows on device
+        rows = jnp.arange(1, N + 1, dtype=jnp.int32)[None, None, :]
+        preds = jnp.where(preds == 255, 0, rows - preds)
     P = preds.shape[1]
     D, W = seqp.shape[1], seqp.shape[2]
     L = N + W
@@ -810,7 +818,7 @@ _poa_align_pallas_jit = functools.partial(
     jax.jit,
     static_argnames=(
         "align_type", "m", "x", "g", "interpret", "dp_only", "ring",
-        "emit_node_ids", "emit_rle",
+        "emit_node_ids", "emit_rle", "preds_is_delta",
     ),
 )(_poa_align_pallas_impl)
 
