@@ -220,10 +220,13 @@ BSUB = 4  # pairs per banded program (DIR scratch budget: (T+1)*BSUB*BW int8)
 def _kernel_banded(
     tcodes_ref,  # [1, T, 1, BSUB] int32 target codes
     tlen_ref,  # [1, 1, BSUB] int32
-    qbuf_ref,  # [1, BSUB, WQ] int32: query codes, PRE-OFFSET so that
-    # buffer[C + i + l] == q[i + lo_d + l - 1] for every pair d (the
-    # per-pair band offset lo_d is absorbed into the host-side placement,
-    # letting one dynamic slice per row serve all BSUB pairs)
+    qwin0_ref,  # [1, BSUB, BW] int32: query window of ROW 1
+    # (qwin0[d, l] = q_d[lo_d + l], 0xFF out of range)
+    qent_ref,  # [1, T, 1, BSUB] int32: element entering the window when
+    # advancing to row r+1 (qent[r-1, d] = q_d[r + lo_d + BW - 1]). A
+    # sliding window (static roll + one masked insert per row) replaces a
+    # per-row dynamic lane slice, which Mosaic only allows at multiples
+    # of 128 lanes (real-silicon constraint interpret mode doesn't model)
     qlen_ref,  # [1, 1, BSUB] int32
     lo_ref,  # [1, 1, BSUB] int32: band low diagonal (j - i >= lo)
     pairs_t_ref,  # [1, BSUB, L] int32 out
@@ -232,11 +235,10 @@ def _kernel_banded(
     dist_ref,  # [1, 1, BSUB] int32 out
     H,  # [2, BSUB, BW] int32 scratch (rolling rows)
     DIR,  # [T+1, BSUB, BW] int8 scratch
+    QW,  # [BSUB, BW] int32 scratch: sliding query window
     *,
     T: int,
     BW: int,
-    WQ: int,
-    C: int,
     L: int,
 ):
     """Banded global edit-distance NW in band coordinates: row i = target
@@ -259,14 +261,20 @@ def _kernel_banded(
     row0 = jnp.where((j0 >= 0) & (j0 <= qlen), j0 * g, neg)
     H[0] = row0
     DIR[0] = jnp.full((BSUB, BW), 2, jnp.int8)  # horizontal
+    QW[:, :] = qwin0_ref[0]
 
     def step(i, _):
         r = i + 1  # target row 1..T
         jvec = r + lo + lvec  # query position at each lane
         valid = (jvec >= 0) & (jvec <= qlen)
         trow = tcodes_ref[0, i, 0].reshape(BSUB, 1)
-        qwin = qbuf_ref[0, :, pl.ds(C + r, BW)]  # q[r + lo + l - 1]
+        qwin = QW[:, :]  # q[r + lo + l - 1]
         prof = jnp.where(qwin == trow, jnp.int32(0), g)
+        # slide the window for the next row: shift left, insert qent[r-1]
+        ent = qent_ref[0, i, 0].reshape(BSUB, 1)
+        QW[:, :] = jnp.where(
+            lvec == BW - 1, ent, pltpu.roll(qwin, BW - 1, axis=1)
+        )
         prev = H[lax.rem(i, 2)]
         # diag: (i-1, j-1) = previous row, same lane
         diag = jnp.where(jvec >= 1, prev + prof, neg)
@@ -361,21 +369,19 @@ def _kernel_banded(
 def _pairwise_banded_impl(
     tcodes,  # [B, T, 1, BSUB]
     tlen,  # [B, 1, BSUB] int32
-    qbuf,  # [B, BSUB, WQ]
+    qwin0,  # [B, BSUB, BW]
+    qent,  # [B, T, 1, BSUB]
     qlen,  # [B, 1, BSUB] int32
     lo,  # [B, 1, BSUB] int32
     BW: int,
-    C: int,
     interpret: bool = False,
 ):
     tcodes = tcodes.astype(jnp.int32)
-    qbuf = qbuf.astype(jnp.int32)
+    qwin0 = qwin0.astype(jnp.int32)
+    qent = qent.astype(jnp.int32)
     B, T = tcodes.shape[0], tcodes.shape[1]
-    WQ = qbuf.shape[2]
     L = T + BW
-    kernel = functools.partial(
-        _kernel_banded, T=T, BW=BW, WQ=WQ, C=C, L=L
-    )
+    kernel = functools.partial(_kernel_banded, T=T, BW=BW, L=L)
     vmem = lambda shape: pl.BlockSpec(
         shape, lambda b: (b,) + (0,) * (len(shape) - 1), memory_space=pltpu.VMEM
     )
@@ -385,7 +391,8 @@ def _pairwise_banded_impl(
         in_specs=[
             vmem((1, T, 1, BSUB)),
             vmem((1, 1, BSUB)),
-            vmem((1, BSUB, WQ)),
+            vmem((1, BSUB, BW)),
+            vmem((1, T, 1, BSUB)),
             vmem((1, 1, BSUB)),
             vmem((1, 1, BSUB)),
         ],
@@ -404,14 +411,15 @@ def _pairwise_banded_impl(
         scratch_shapes=[
             pltpu.VMEM((2, BSUB, BW), jnp.int32),
             pltpu.VMEM((T + 1, BSUB, BW), jnp.int8),
+            pltpu.VMEM((BSUB, BW), jnp.int32),
         ],
         interpret=interpret,
-    )(tcodes, tlen, qbuf, qlen, lo)
+    )(tcodes, tlen, qwin0, qent, qlen, lo)
     return pt.astype(jnp.int16), pq.astype(jnp.int16), count, dist
 
 
 _pairwise_banded_jit = functools.partial(
-    jax.jit, static_argnames=("BW", "C", "interpret")
+    jax.jit, static_argnames=("BW", "interpret")
 )(_pairwise_banded_impl)
 
 
@@ -594,7 +602,6 @@ class DevicePairwiseAligner:
         from ..pairwise import edit_align, ops_to_cigar
 
         T, BW = bucket
-        WQ = T + BW
         L = T + BW
         pending = []
         _t0 = _time.perf_counter()
@@ -607,7 +614,8 @@ class DevicePairwiseAligner:
                     break
             tcodes = np.zeros((B, T, 1, BSUB), np.int16)
             tlen = np.ones((B, 1, BSUB), np.int32)
-            qbuf = np.full((B, BSUB, WQ), 0xFF, np.int16)
+            qwin0 = np.full((B, BSUB, BW), 0xFF, np.int16)
+            qent = np.full((B, T, 1, BSUB), 0xFF, np.int16)
             qlen = np.zeros((B, 1, BSUB), np.int32)
             lo = np.zeros((B, 1, BSUB), np.int32)
             for n, (pi, (q, t)) in enumerate(chunk):
@@ -617,20 +625,28 @@ class DevicePairwiseAligner:
                 lod = min(0, lq - lt) - k
                 tcodes[b, :lt, 0, d] = t
                 tlen[b, 0, d] = lt
-                # place q so buffer[C + i + l] == q[i + lo + l - 1], C = 0
-                p0 = 1 - lod
-                qbuf[b, d, p0 : p0 + lq] = q
+                # row-1 window qwin0[l] = q[lo + l]; entering element for
+                # row r+1 is qent[r-1] = q[r + lo + BW - 1] (pad 0xFF)
+                qa = np.asarray(q, dtype=np.int16)
+                w_idx = lod + np.arange(BW)
+                ok = (w_idx >= 0) & (w_idx < lq)
+                qwin0[b, d] = np.where(ok, qa[np.clip(w_idx, 0, lq - 1)], 0xFF)
+                e_idx = np.arange(1, T + 1) + lod + BW - 1
+                ok = (e_idx >= 0) & (e_idx < lq)
+                qent[b, :, 0, d] = np.where(
+                    ok, qa[np.clip(e_idx, 0, lq - 1)], 0xFF
+                )
                 qlen[b, 0, d] = lq
                 lo[b, 0, d] = lod
             _td = _time.perf_counter()
             pt, pq, count, dist = _pairwise_banded_jit(
                 jnp.asarray(tcodes),
                 jnp.asarray(tlen),
-                jnp.asarray(qbuf),
+                jnp.asarray(qwin0),
+                jnp.asarray(qent),
                 jnp.asarray(qlen),
                 jnp.asarray(lo),
                 BW=BW,
-                C=0,
                 interpret=self.interpret,
             )
             self.t_device += _time.perf_counter() - _td
