@@ -259,10 +259,49 @@ class PallasAlignerBackend:
                 )
                 if p is not None:
                     pending.append(p)
+        # three-phase fetch: per-chunk synchronous fetches serialize the
+        # tunnel's ~24 ms d2h latency (3 fetches x hundreds of chunks was
+        # the dominant cost of the warm device e2e). Phase 1 starts the
+        # small meta fetches (steps/count) for EVERY chunk asynchronously;
+        # phase 2 slices each runs buffer to its used rows (steps is local
+        # by then) and starts those fetches; phase 3 decodes — each
+        # np.asarray then finds its bytes already on host.
+        for p in pending:
+            self._start_meta_fetch(p)
+        pending = [self._start_runs_fetch(p) for p in pending]
         for p in pending:
             self._finish_chunk(items, results, p)
 
         return results  # type: ignore
+
+    @staticmethod
+    def _async(arr):
+        try:
+            arr.copy_to_host_async()
+        except Exception:  # noqa: BLE001 — platform without async d2h
+            pass
+
+    def _start_meta_fetch(self, pending):
+        kind, a1, a2, count = pending[:4]
+        if kind == "rle":
+            self._async(a2)
+        self._async(count)
+
+    def _start_runs_fetch(self, pending):
+        import time as _time
+
+        kind, a1, a2, count = pending[:4]
+        if kind != "rle":
+            self._async(a1)
+            self._async(a2)
+            return pending
+        _t0 = _time.perf_counter()
+        steps = int(a2)
+        runs = a1[:steps] if steps else None
+        if runs is not None:
+            self._async(runs)
+        self.t_device += _time.perf_counter() - _t0
+        return (kind, runs, steps, count) + pending[4:]
 
     def _run_chunk(self, items, results, entries, mode, nb, pb, wb, dcap, rb=0):
         from .poa_pallas import poa_align_pallas
@@ -389,11 +428,12 @@ class PallasAlignerBackend:
         _t0 = _time.perf_counter()
         count = np.asarray(count)
         if kind == "rle":
-            runs, steps = a1, int(a2)
-            # fetch only the rows the walk used (runs beyond are zero) —
-            # the compressed form moves ~4-8x fewer bytes than dense pairs
-            runs = np.asarray(runs[:steps]) if steps else np.zeros(
-                (0, a1.shape[1]), np.int32
+            # a1 was sliced to the used rows in _start_runs_fetch and its
+            # d2h started there; this asarray finds the bytes on host
+            runs = (
+                np.asarray(a1)
+                if a1 is not None
+                else np.zeros((0, count.shape[0] * count.shape[2]), np.int32)
             )
         else:
             pn = np.asarray(a1)

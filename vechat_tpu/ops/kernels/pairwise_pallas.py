@@ -34,6 +34,15 @@ NEG = -(2**28)
 DSUB = 8  # tile pairs per program (sublane packing)
 
 
+def _async_d2h(arr):
+    """Start a device-to-host copy without blocking (no-op where the
+    platform lacks async d2h)."""
+    try:
+        arr.copy_to_host_async()
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def _kernel(
     tcodes_ref,  # [1, T, 1, DSUB] int32: target codes, row-major
     tlen_ref,  # [1, 1, DSUB] int32
@@ -654,6 +663,11 @@ class DevicePairwiseAligner:
             pending.append((chunk, pt, pq, count, dist))
         self.t_tile += _time.perf_counter() - _t0
 
+        # start every chunk's d2h before the first blocking fetch: the
+        # tunnel's ~24 ms latency then overlaps across chunks
+        for _, pt, pq, count, dist in pending:
+            for a in (pt, pq, count, dist):
+                _async_d2h(a)
         for chunk, pt, pq, count, dist in pending:
             _td = _time.perf_counter()
             pt = np.asarray(pt)
@@ -796,6 +810,9 @@ class DevicePairwiseAligner:
             self.n_dispatches += 1
             pending.append((chunk, pt, pq, count))
 
+        for _, pt, pq, count in pending:
+            for a in (pt, pq, count):
+                _async_d2h(a)
         for chunk, pt, pq, count in pending:
             _td = _time.perf_counter()
             pt = np.asarray(pt)
