@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--chunks", type=int, default=4)
     ap.add_argument("--procs", type=int, default=2)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--skip-split", action="store_true",
+        help="skip the sequential --split phase (large-size runs where the "
+        "multi-process efficiency is the question)",
+    )
     args = ap.parse_args()
 
     from scripts.e2e_bench import mutate, rand_seq
@@ -87,19 +92,20 @@ def main():
     out1, t_full = run("full.fa", [])
     print(f"[scaling] single run: {t_full:.1f}s")
 
-    # fastq lines per read = 4; split-size is in LINES
-    lines_per_chunk = max(4, (args.reads // args.chunks) * 4)
-    out2, t_split = run(
-        "split.fa", ["--split", "--split-size", str(lines_per_chunk)]
-    )
-    with open(out1, "rb") as a, open(out2, "rb") as bfh:
-        same = a.read() == bfh.read()
-    print(
-        f"[scaling] --split x{args.chunks} sequential: {t_split:.1f}s "
-        f"(x{t_split / t_full:.2f} of single; byte-identical={same}) — "
-        f"per-chunk work ~1/{args.chunks} when the ratio stays ~1.0"
-    )
-    assert same, "--split output diverged from single run"
+    if not args.skip_split:
+        # fastq lines per read = 4; split-size is in LINES
+        lines_per_chunk = max(4, (args.reads // args.chunks) * 4)
+        out2, t_split = run(
+            "split.fa", ["--split", "--split-size", str(lines_per_chunk)]
+        )
+        with open(out1, "rb") as a, open(out2, "rb") as bfh:
+            same = a.read() == bfh.read()
+        print(
+            f"[scaling] --split x{args.chunks} sequential: {t_split:.1f}s "
+            f"(x{t_split / t_full:.2f} of single; byte-identical={same}) — "
+            f"per-chunk work ~1/{args.chunks} when the ratio stays ~1.0"
+        )
+        assert same, "--split output diverged from single run"
 
     # concurrent multi-process
     t0 = time.perf_counter()
