@@ -36,6 +36,20 @@ P_CAP = 16
 D_CHUNK = 8
 
 
+
+def _async_d2h_tree(*objs):
+    """Start device-to-host copies for every jax array in the given
+    objects/tuples without blocking (overlaps the tunnel's per-fetch
+    latency across chunks; no-op where async d2h is unsupported)."""
+    for o in objs:
+        if isinstance(o, (tuple, list)):
+            _async_d2h_tree(*o)
+        else:
+            try:
+                o.copy_to_host_async()
+            except Exception:  # noqa: BLE001
+                pass
+
 def _bucket(v, ladder):
     for b in ladder:
         if v <= b:
@@ -286,6 +300,8 @@ def run_device_polish(
     t_device = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    for _c, b_ovf, outs in pending:
+        _async_d2h_tree(b_ovf, outs)
     for chunk, b_ovf, (corrected, out_len, overflow, n_sub) in pending:
         try:
             corrected = np.asarray(corrected)
@@ -439,6 +455,8 @@ def run_device_linear(
     t_device = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    for _c, outs in pending:
+        _async_d2h_tree(outs)
     for chunk, (corrected, out_len, overflow) in pending:
         try:
             corrected = np.asarray(corrected)
@@ -598,6 +616,8 @@ def run_device_cycle(
     t_device = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    for _c, outs in pending:
+        _async_d2h_tree(outs)
     for chunk, (corrected, out_len, overflow, n_sub) in pending:
         try:
             corrected = np.asarray(corrected)
