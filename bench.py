@@ -474,13 +474,14 @@ def _bench_body():
             import json as _json
 
             banked = _json.load(
-                open(os.path.join(HERE, "BENCH_banked_r04.json"))
+                open(os.path.join(HERE, "BENCH_banked_r05.json"))
             )
             de = banked.get("device_e2e", {})
             print(
-                "[bench:e2e:banked-r4] device e2e (layerwise default): "
+                "[bench:e2e:banked-r5] device e2e (layerwise default): "
                 f"cold {de.get('cold_wall_s')}s, warm {de.get('warm_wall_s')}s"
-                f" = {de.get('warm_reads_per_s')} reads/s; "
+                f" = {de.get('warm_reads_per_s')} reads/s "
+                f"({de.get('vs_host')}x host backend); "
                 f"split: {de.get('warm_split')}",
                 file=sys.stderr,
             )
